@@ -1,0 +1,209 @@
+"""Pure-functional ViT primitives (patch embed, attention, MLP, block).
+
+Functional counterparts of the reference's module classes
+(reference tae.py:29-131): every layer is an ``*_init(key, ...) -> params``
+plus an ``*_apply(params, x, ...) -> y`` pair operating on plain dict
+pytrees. Transformer stacks are stored depth-stacked (leading layer axis) and
+applied with ``lax.scan`` so a 22-deep model traces/compiles a single block.
+
+Conventions:
+  * Linear weights are stored (in, out) — JAX layout; the torch importer
+    transposes.
+  * The fused qkv projection is one (dim, 3·dim) matmul, packed [q|k|v] along
+    the output axis (column-split equivalent of the reference's row-packed
+    torch layout, tae.py:67,74).
+  * GELU is the exact (erf) variant — torch ``nn.GELU`` default; note
+    ``jax.nn.gelu`` defaults to the tanh approximation, so we always pass
+    ``approximate=False``.
+  * LayerNorm statistics run in fp32 (see :mod:`tae_tpu.ops.layernorm`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tae_tpu.nn import init as tinit
+from tae_tpu.ops.attention import attention
+from tae_tpu.ops.layernorm import layer_norm
+from tae_tpu.ops.patchify import extract_patches
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionConfig:
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    ln_eps: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    ln_eps: float = 1e-6
+
+    @property
+    def attn(self) -> AttentionConfig:
+        return AttentionConfig(self.dim, self.num_heads, self.qkv_bias,
+                               self.qk_norm, self.ln_eps)
+
+    @property
+    def mlp_hidden(self) -> int:
+        return int(self.dim * self.mlp_ratio)
+
+
+# ---------------------------------------------------------------------------
+# linear / layernorm
+# ---------------------------------------------------------------------------
+
+def linear_init(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True,
+                dtype=jnp.float32) -> Params:
+    p: Params = {"w": tinit.xavier_uniform(key, (in_dim, out_dim), dtype)}
+    if bias:
+        p["b"] = tinit.zeros((out_dim,), dtype)
+    return p
+
+
+def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"]
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def layer_norm_init(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": tinit.ones((dim,), dtype), "bias": tinit.zeros((dim,), dtype)}
+
+
+def layer_norm_apply(p: Params, x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    return layer_norm(x, p["scale"], p["bias"], eps)
+
+
+# ---------------------------------------------------------------------------
+# patch embedding (conv-as-matmul)
+# ---------------------------------------------------------------------------
+
+def patch_embed_init(key: jax.Array, patch_size: int, in_chans: int,
+                     embed_dim: int, dtype=jnp.float32) -> Params:
+    """Patch embedding weight (C·p², E), initialized like the reference's
+    conv-viewed-as-linear xavier (reference tae.py:180-181): fan_in = C·p²,
+    fan_out = E."""
+    k = patch_size * patch_size * in_chans
+    return {
+        "w": tinit.xavier_uniform(key, (k, embed_dim), dtype),
+        "b": tinit.zeros((embed_dim,), dtype),
+    }
+
+
+def patch_embed_apply(p: Params, imgs: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """(B, C, H, W) -> (B, N, E): patch extraction + one MXU matmul."""
+    x = extract_patches(imgs, patch_size)
+    return x @ p["w"] + p["b"]
+
+
+# ---------------------------------------------------------------------------
+# attention
+# ---------------------------------------------------------------------------
+
+def attention_init(key: jax.Array, cfg: AttentionConfig, dtype=jnp.float32) -> Params:
+    k_qkv, k_proj = jax.random.split(key)
+    p: Params = {
+        "qkv": linear_init(k_qkv, cfg.dim, cfg.dim * 3, bias=cfg.qkv_bias, dtype=dtype),
+        "proj": linear_init(k_proj, cfg.dim, cfg.dim, bias=True, dtype=dtype),
+    }
+    if cfg.qk_norm:
+        head_dim = cfg.dim // cfg.num_heads
+        p["q_norm"] = layer_norm_init(head_dim, dtype)
+        p["k_norm"] = layer_norm_init(head_dim, dtype)
+    return p
+
+
+def attention_apply(p: Params, x: jnp.ndarray, cfg: AttentionConfig,
+                    backend: str | None = None) -> jnp.ndarray:
+    b, n, c = x.shape
+    h = cfg.num_heads
+    dh = c // h
+    qkv = linear_apply(p["qkv"], x).reshape(b, n, 3, h, dh)
+    qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, dh)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    if cfg.qk_norm:
+        q = layer_norm_apply(p["q_norm"], q, cfg.ln_eps)
+        k = layer_norm_apply(p["k_norm"], k, cfg.ln_eps)
+    y = attention(q, k, v, backend=backend)
+    y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
+    return linear_apply(p["proj"], y)
+
+
+# ---------------------------------------------------------------------------
+# mlp
+# ---------------------------------------------------------------------------
+
+def mlp_init(key: jax.Array, in_dim: int, hidden_dim: int,
+             out_dim: int | None = None, dtype=jnp.float32) -> Params:
+    out_dim = out_dim or in_dim
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": linear_init(k1, in_dim, hidden_dim, dtype=dtype),
+        "fc2": linear_init(k2, hidden_dim, out_dim, dtype=dtype),
+    }
+
+
+def mlp_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    x = linear_apply(p["fc1"], x)
+    x = jax.nn.gelu(x, approximate=False)
+    return linear_apply(p["fc2"], x)
+
+
+# ---------------------------------------------------------------------------
+# transformer block + depth-stacked scan
+# ---------------------------------------------------------------------------
+
+def block_init(key: jax.Array, cfg: BlockConfig, dtype=jnp.float32) -> Params:
+    k_attn, k_mlp = jax.random.split(key)
+    return {
+        "norm1": layer_norm_init(cfg.dim, dtype),
+        "attn": attention_init(k_attn, cfg.attn, dtype),
+        "norm2": layer_norm_init(cfg.dim, dtype),
+        "mlp": mlp_init(k_mlp, cfg.dim, cfg.mlp_hidden, dtype=dtype),
+    }
+
+
+def block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
+                backend: str | None = None) -> jnp.ndarray:
+    """Pre-LN residual block (reference tae.py:128-131)."""
+    x = x + attention_apply(p["attn"], layer_norm_apply(p["norm1"], x, cfg.ln_eps),
+                            cfg.attn, backend=backend)
+    x = x + mlp_apply(p["mlp"], layer_norm_apply(p["norm2"], x, cfg.ln_eps))
+    return x
+
+
+def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,
+                dtype=jnp.float32) -> Params:
+    """Depth-stacked block parameters: every leaf gains a leading (depth,) axis."""
+    keys = jax.random.split(key, depth)
+    return jax.vmap(lambda k: block_init(k, cfg, dtype))(keys)
+
+
+def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
+                 backend: str | None = None, remat: bool = False) -> jnp.ndarray:
+    """Apply a depth-stacked block stack with ``lax.scan``.
+
+    ``remat=True`` wraps each layer in ``jax.checkpoint`` so the backward pass
+    rematerializes activations instead of storing depth × (B, N, 4d) — the
+    TPU-idiomatic HBM/FLOPs trade for the 2.5B+ configs.
+    """
+    fn = lambda carry, layer: (block_apply(layer, carry, cfg, backend=backend), None)
+    if remat:
+        fn = jax.checkpoint(fn, prevent_cse=False)
+    y, _ = jax.lax.scan(fn, x, stacked)
+    return y

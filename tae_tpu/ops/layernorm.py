@@ -1,0 +1,27 @@
+"""LayerNorm with fp32 statistics.
+
+Under torch autocast, LayerNorm always runs in fp32 regardless of the
+surrounding half-precision region (this is what the reference relies on at
+tae.py:122,125,159,168). We reproduce that numerically: statistics and the
+affine transform are computed in fp32, and the result is cast back to the
+input dtype.
+
+A fused Pallas implementation lives in :mod:`tae_tpu.ops.pallas.layernorm`;
+this module is the XLA fallback and the golden reference for its tests. In
+practice XLA already fuses this pattern well, so the fallback is also fast.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-6) -> jnp.ndarray:
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) / jnp.sqrt(var + eps)
+    y = y * weight.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)

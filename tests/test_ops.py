@@ -1,0 +1,110 @@
+"""Op-level golden tests: patchify round-trips, layernorm numerics,
+Pallas kernels (interpret mode) vs their XLA references, quantizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tae_tpu.ops.attention import attention, attention_xla
+from tae_tpu.ops.layernorm import layer_norm
+from tae_tpu.ops.pallas.flash_attention import flash_attention
+from tae_tpu.ops.patchify import extract_patches, patchify, unpatchify
+from tae_tpu.ops.quantizer import nearest_code, vq_ste
+
+
+def test_patchify_unpatchify_roundtrip():
+    imgs = jax.random.normal(jax.random.key(0), (2, 3, 64, 64))
+    x = patchify(imgs, 16)
+    assert x.shape == (2, 16, 16 * 16 * 3)
+    assert jnp.allclose(unpatchify(x, 16), imgs)
+
+
+def test_patchify_ordering_matches_reference_einsum():
+    """patchify must be bit-for-bit the reference's nchpwq->nhwpqc
+    (reference tae.py:196-208)."""
+    imgs = np.arange(2 * 3 * 8 * 8, dtype=np.float32).reshape(2, 3, 8, 8)
+    p = 4
+    h = w = 2
+    ref = imgs.reshape(2, 3, h, p, w, p)
+    ref = np.einsum("nchpwq->nhwpqc", ref).reshape(2, h * w, p * p * 3)
+    np.testing.assert_array_equal(np.asarray(patchify(jnp.asarray(imgs), p)), ref)
+
+
+def test_extract_patches_matches_conv_weight_layout():
+    """extract_patches is channel-major so a torch conv weight (E, C, p, p)
+    reshaped to (E, C·p²) applies directly (transposed)."""
+    imgs = np.arange(1 * 3 * 8 * 8, dtype=np.float32).reshape(1, 3, 8, 8)
+    p = 4
+    got = np.asarray(extract_patches(jnp.asarray(imgs), p))
+    # patch (0, 0): imgs[:, :, :4, :4] flattened channel-major
+    expect = imgs[0, :, :4, :4].reshape(-1)
+    np.testing.assert_array_equal(got[0, 0], expect)
+
+
+def test_layer_norm_matches_torch_semantics():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).standard_normal((4, 7, 33)).astype(np.float32)
+    w = np.random.default_rng(1).standard_normal(33).astype(np.float32)
+    b = np.random.default_rng(2).standard_normal(33).astype(np.float32)
+    ours = np.asarray(layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), 1e-6))
+    theirs = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (33,), torch.from_numpy(w), torch.from_numpy(b), 1e-6
+    ).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n,dh", [(256, 64), (64, 64), (16, 80), (4, 80)])
+def test_flash_attention_matches_xla(n, dh):
+    """Pallas kernel (interpret mode on CPU) vs the jnp reference, across the
+    TAE shape grid including the tiny-N p128 case."""
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (2, 3, n, dh), jnp.float32)
+    k = jax.random.normal(k2, (2, 3, n, dh), jnp.float32)
+    v = jax.random.normal(k3, (2, 3, n, dh), jnp.float32)
+    ref = attention_xla(q, k, v)
+    got = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_grad_matches_xla():
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(1), 4)
+    shape = (1, 2, 16, 64)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in (k1, k2, k3))
+    ct = jax.random.normal(k4, shape, jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) * ct)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, interpret=True) * ct)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5)
+
+
+def test_attention_dispatch_unknown_backend():
+    q = jnp.zeros((1, 1, 4, 8))
+    with pytest.raises(ValueError, match="unknown attention backend"):
+        attention(q, q, q, backend="cuda")
+
+
+def test_nearest_code_exact():
+    cb = jnp.asarray([[0.0, 0.0], [1.0, 1.0], [-1.0, 0.5]])
+    z = jnp.asarray([[[0.1, -0.1], [0.9, 1.2], [-0.8, 0.4]]])
+    idx = nearest_code(z, cb)
+    np.testing.assert_array_equal(np.asarray(idx), [[0, 1, 2]])
+
+
+def test_vq_ste_gradient_is_identity_to_encoder():
+    cb = jax.random.normal(jax.random.key(0), (8, 4))
+    z = jax.random.normal(jax.random.key(1), (2, 3, 4))
+
+    def f(z):
+        zq, _ = vq_ste(z, cb)
+        return jnp.sum(zq * 2.0)
+
+    g = jax.grad(f)(z)
+    np.testing.assert_allclose(np.asarray(g), 2.0 * np.ones_like(g), atol=1e-6)
