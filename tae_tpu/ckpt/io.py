@@ -1,0 +1,142 @@
+"""Checkpoint save/restore.
+
+Orbax-backed sharded checkpointing (each leaf saved with its sharding; scales
+to multi-host) plus a JSON metadata sidecar carrying step / args / best
+metric — the TPU-native equivalent of the reference's single-file
+``torch.save({model, optimizer, args, iteration, scaler})``
+(reference train.py:163-171, util/misc.py:289-304).
+
+``load_params`` additionally accepts a PyTorch ``.pth`` reference checkpoint
+and converts it via :mod:`tae_tpu.ckpt.torch_import` — this implements the
+*intended* behavior of the reference's broken ``evaluate.py:78`` load call
+(SURVEY.md §2.3: kwargs-mismatch bug; we load from ``--resume`` properly).
+
+Positional embeddings whose token grid differs from the model's are
+bicubically interpolated on load (reference util/misc.py:326-350).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from tae_tpu.ckpt.interpolate import maybe_interpolate_tree
+
+_META = "meta.json"
+_TREE = "tree"
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(path: str | Path, tree: Any, *, step: int = 0,
+                    args: dict | None = None, extra: dict | None = None) -> None:
+    """Save a pytree (params or full TrainState) + metadata. Writes from
+    every process (orbax coordinates); metadata from process 0 only
+    (reference save_on_master semantics, util/misc.py:207-209)."""
+    path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckptr = _checkpointer()
+    tree_path = path / _TREE
+    if tree_path.exists():
+        import shutil
+
+        shutil.rmtree(tree_path)
+    ckptr.save(tree_path, tree)
+    ckptr.wait_until_finished()
+    if jax.process_index() == 0:
+        meta = {"step": int(step), "args": args or {}, **(extra or {})}
+        (path / _META).write_text(json.dumps(meta, indent=2, default=str))
+
+
+def load_checkpoint(path: str | Path, target: Any = None) -> tuple[Any, dict]:
+    """Restore (tree, meta). ``target`` (a matching pytree of arrays or
+    ShapeDtypeStructs, possibly sharded) restores with correct
+    placement/dtypes; without it the stored structure is returned as saved."""
+    path = Path(path).absolute()
+    ckptr = _checkpointer()
+    if target is not None:
+        import orbax.checkpoint as ocp
+
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        tree = ckptr.restore(path / _TREE, abstract)
+    else:
+        tree = ckptr.restore(path / _TREE)
+    meta = {}
+    meta_path = path / _META
+    if meta_path.exists():
+        meta = json.loads(meta_path.read_text())
+    return tree, meta
+
+
+def _is_torch_checkpoint(path: Path) -> bool:
+    return path.is_file() and path.suffix in (".pth", ".pt", ".bin")
+
+
+def load_params(path: str | Path, model, model_params: Any) -> Any:
+    """Load model parameters from either a tae_tpu checkpoint directory or a
+    PyTorch reference ``.pth`` file, interpolating pos-embeds on mismatch.
+
+    ``model_params`` provides the target structure (and sharding, if its
+    leaves are sharded arrays); missing keys keep their current values —
+    the analogue of the reference's ``strict=False`` load
+    (util/misc.py:317).
+    """
+    path = Path(path)
+    if _is_torch_checkpoint(path):
+        import torch
+
+        from tae_tpu.ckpt import torch_import
+        from tae_tpu.models.recognition import RecognitionViT
+        from tae_tpu.models.segmentation import SegmentationViT
+        from tae_tpu.models.tae import TAE
+
+        ckpt = torch.load(path, weights_only=True, map_location="cpu")
+        sd = ckpt.get("model", ckpt)
+        if isinstance(model, TAE):
+            loaded = torch_import.tae_params_from_torch(sd, model.cfg)
+        elif isinstance(model, RecognitionViT):
+            loaded = torch_import.recognition_params_from_torch(sd, model.cfg)
+        elif isinstance(model, SegmentationViT):
+            loaded = torch_import.segmentation_params_from_torch(sd, model.cfg)
+        else:
+            raise TypeError(f"cannot import torch checkpoint for {type(model)}")
+    else:
+        loaded, _ = load_checkpoint(path)
+        if isinstance(loaded, dict) and "params" in loaded:
+            loaded = loaded["params"]
+
+    loaded = maybe_interpolate_tree(loaded, model_params)
+
+    def merge(tgt, src):
+        if not isinstance(tgt, dict):
+            return np.asarray(src).astype(np.asarray(tgt).dtype) if src is not None else tgt
+        return {k: merge(v, src.get(k) if isinstance(src, dict) else None)
+                for k, v in tgt.items()}
+
+    merged = merge(model_params, loaded)
+    # preserve target sharding/placement if leaves are jax arrays
+    return jax.tree.map(
+        lambda tgt, new: jax.device_put(new, tgt.sharding)
+        if hasattr(tgt, "sharding") else new,
+        model_params, merged)
+
+
+def asdict_args(args) -> dict:
+    """argparse Namespace / dataclass -> JSON-serializable dict (checkpoints
+    embed the full args like the reference, train.py:166)."""
+    if hasattr(args, "__dict__"):
+        d = vars(args)
+    elif dataclasses.is_dataclass(args):
+        d = dataclasses.asdict(args)
+    else:
+        d = dict(args)
+    return {k: v for k, v in d.items() if isinstance(v, (str, int, float, bool, list, tuple, type(None)))}

@@ -1,0 +1,100 @@
+"""Sharding rules: param pytree -> NamedSharding per leaf.
+
+Rules are path-based (leaf names are stable across all three model families
+since they share the ViT primitives):
+
+  * attention qkv / MLP fc1 weights  — output-dim over ``tensor`` (column
+    parallel), input-dim over ``fsdp``;
+  * attention proj / MLP fc2 weights — input-dim over ``tensor`` (row
+    parallel; XLA inserts the psum), output-dim over ``fsdp``;
+  * their biases follow the output dim;
+  * embeddings / norms / heads — replicated over ``tensor``, largest dim
+    over ``fsdp`` when divisible.
+
+Depth-stacked block leaves carry a leading (depth,) axis which is never
+sharded. Any axis whose size does not divide the mesh axis falls back to
+replication (important for the vocab-16 bottleneck projections).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Params = Any
+
+# suffix -> spec for the *trailing* dims (leading depth axis handled below)
+_RULES: list[tuple[tuple[str, ...], tuple[str | None, ...]]] = [
+    (("attn", "qkv", "w"), ("fsdp", "tensor")),
+    (("attn", "qkv", "b"), ("tensor",)),
+    (("attn", "proj", "w"), ("tensor", "fsdp")),
+    (("attn", "proj", "b"), (None,)),
+    (("mlp", "fc1", "w"), ("fsdp", "tensor")),
+    (("mlp", "fc1", "b"), ("tensor",)),
+    (("mlp", "fc2", "w"), ("tensor", "fsdp")),
+    (("mlp", "fc2", "b"), (None,)),
+]
+
+
+def _path_names(path) -> tuple[str, ...]:
+    names = []
+    for entry in path:
+        if hasattr(entry, "key"):
+            names.append(str(entry.key))
+        elif hasattr(entry, "name"):
+            names.append(str(entry.name))
+        else:
+            names.append(str(entry))
+    return tuple(names)
+
+
+def _axis_ok(mesh: Mesh, axis: str | None, dim: int) -> bool:
+    return axis is None or dim % mesh.shape[axis] == 0
+
+
+def _spec_for(names: tuple[str, ...], leaf, mesh: Mesh) -> P:
+    ndim = leaf.ndim
+    for suffix, trailing in _RULES:
+        if names[-len(suffix):] == suffix:
+            lead = ndim - len(trailing)
+            spec = [None] * lead + [
+                ax if _axis_ok(mesh, ax, leaf.shape[lead + i]) else None
+                for i, ax in enumerate(trailing)
+            ]
+            return P(*spec)
+    # default: replicate over tensor; put the largest divisible dim on fsdp
+    if ndim >= 2 and mesh.shape["fsdp"] > 1:
+        # skip a leading stacked-depth/broadcast axis of size 1
+        dims = sorted(range(ndim), key=lambda i: -leaf.shape[i])
+        for d in dims:
+            if leaf.shape[d] > 1 and leaf.shape[d] % mesh.shape["fsdp"] == 0:
+                spec = [None] * ndim
+                spec[d] = "fsdp"
+                return P(*spec)
+    return P()
+
+
+def param_shardings(params: Params, mesh: Mesh) -> Params:
+    """NamedSharding pytree matching ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _spec_for(_path_names(path), leaf, mesh)),
+        params,
+    )
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place a host-resident param tree onto the mesh per the rules."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Batch axis sharded over (data, fsdp) — fsdp behaves like extra data
+    parallelism for activations, as in standard ZeRO."""
+    return NamedSharding(mesh, P(("data", "fsdp"), *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

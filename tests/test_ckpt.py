@@ -1,0 +1,90 @@
+"""Checkpoint round-trips, torch .pth import path, pos-embed interpolation."""
+
+import dataclasses
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tae_tpu.ckpt.interpolate import interpolate_pos_embed
+from tae_tpu.ckpt.io import load_checkpoint, load_params, save_checkpoint
+from tae_tpu.models.tae import TAE, TAEConfig
+from tae_tpu.train import TrainState, adamw
+from tae_tpu.utils.dtypes import FP32
+
+TINY = dict(img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+            decoder_embed_dim=64, decoder_depth=2, decoder_num_heads=4, vocab_size=16)
+
+
+def test_save_load_roundtrip(tmp_path):
+    model = TAE(TAEConfig(**TINY))
+    params = model.init(jax.random.key(0))
+    opt = adamw()
+    state = TrainState.create(params, opt)
+    save_checkpoint(tmp_path / "ck", state, step=7, args={"model": "tiny"},
+                    extra={"best_eval_loss": 0.5})
+    restored, meta = load_checkpoint(tmp_path / "ck", target=state)
+    assert meta["step"] == 7 and meta["best_eval_loss"] == 0.5
+    assert meta["args"]["model"] == "tiny"
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_params_from_torch_pth(tmp_path):
+    """The intended behavior of the reference's broken evaluate.py:78 load:
+    a torch {'model': state_dict} checkpoint loads into our model."""
+    torch = pytest.importorskip("torch")
+    import functools
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import tae as ref_tae
+
+    torch.manual_seed(0)
+    ref = ref_tae.TAE(img_size=32, patch_size=16, embed_dim=64, vocab_size=16,
+                      depth=2, num_heads=4, decoder_embed_dim=64, decoder_depth=2,
+                      decoder_num_heads=4, mlp_ratio=4,
+                      norm_layer=functools.partial(torch.nn.LayerNorm, eps=1e-6)).eval()
+    pth = tmp_path / "ref_checkpoint.pth"
+    torch.save({"model": ref.state_dict(), "iteration": 3}, pth)
+
+    model = TAE(TAEConfig(**TINY))
+    params = model.init(jax.random.key(1))
+    loaded = load_params(pth, model, params)
+    imgs = np.random.default_rng(0).standard_normal((1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        loss_ref, _ = ref(torch.from_numpy(imgs))
+    loss, _ = model.forward(loaded, jnp.asarray(imgs), policy=FP32)
+    np.testing.assert_allclose(float(loss), float(loss_ref), atol=1e-6, rtol=1e-5)
+
+
+def test_pos_embed_interpolation_matches_torch_bicubic():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    pos = rng.standard_normal((1, 16, 8)).astype(np.float32)   # 4x4 grid
+    ours = np.asarray(interpolate_pos_embed(jnp.asarray(pos), 64))  # -> 8x8
+
+    pt = torch.from_numpy(pos).reshape(1, 4, 4, 8).permute(0, 3, 1, 2)
+    pt = torch.nn.functional.interpolate(pt, size=(8, 8), mode="bicubic",
+                                         align_corners=False)
+    theirs = pt.permute(0, 2, 3, 1).reshape(1, 64, 8).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-5, rtol=1e-5)
+
+
+def test_load_params_interpolates_on_grid_mismatch(tmp_path):
+    """Resolution transfer: a 32px-trained checkpoint loads into a 64px model
+    with the pos-embed grid resized (reference util/misc.py:326-350)."""
+    small = TAE(TAEConfig(**TINY))
+    sp = small.init(jax.random.key(0))
+    save_checkpoint(tmp_path / "ck", sp, step=0)
+
+    big = TAE(TAEConfig(**{**TINY, "img_size": 64}))
+    bp = big.init(jax.random.key(1))
+    loaded = load_params(tmp_path / "ck", big, bp)
+    assert loaded["encoder"]["pos_embed"].shape == (1, 16, 64)
+    # non-pos-embed weights came from the checkpoint verbatim
+    np.testing.assert_array_equal(
+        np.asarray(loaded["encoder"]["dict_proj"]["w"]),
+        np.asarray(sp["encoder"]["dict_proj"]["w"]))

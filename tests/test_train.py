@@ -1,0 +1,143 @@
+"""Training-infra tests: AdamW vs torch numerics, schedules, grad accum
+equivalence, and the full sharded train step on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tae_tpu.models.tae import TAE, TAEConfig
+from tae_tpu.parallel import batch_sharding, make_mesh, param_shardings, shard_params
+from tae_tpu.train import TrainState, adamw, epoch_step_lr, make_train_step, step_lr
+from tae_tpu.utils.dtypes import FP32
+
+TINY = dict(img_size=32, patch_size=16, embed_dim=64, depth=2, num_heads=4,
+            decoder_embed_dim=64, decoder_depth=2, decoder_num_heads=4, vocab_size=16)
+
+
+def test_adamw_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    b0 = rng.standard_normal(3).astype(np.float32)
+    grads_seq = [
+        {"w": rng.standard_normal((4, 3)).astype(np.float32),
+         "b": rng.standard_normal(3).astype(np.float32)}
+        for _ in range(5)
+    ]
+
+    # torch: decay on 2-D weight only (add_weight_decay semantics)
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = torch.optim.AdamW(
+        [{"params": [tb], "weight_decay": 0.0},
+         {"params": [tw], "weight_decay": 0.05}],
+        lr=1e-3, betas=(0.9, 0.95))
+    for g in grads_seq:
+        tw.grad = torch.from_numpy(g["w"].copy())
+        tb.grad = torch.from_numpy(g["b"].copy())
+        opt.step()
+
+    # ours
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    o = adamw(weight_decay=0.05)
+    state = o.init(params)
+    for g in grads_seq:
+        params, state = o.update(params, state, jax.tree.map(jnp.asarray, g),
+                                 jnp.float32(1e-3))
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                               atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(params["b"]), tb.detach().numpy(),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_schedules():
+    s = step_lr(1e-4, 1e-5, switch_it=450_000)
+    assert float(s(0)) == pytest.approx(1e-4)
+    assert float(s(449_999)) == pytest.approx(1e-4)
+    assert float(s(450_000)) == pytest.approx(1e-5)
+    e = epoch_step_lr(0.01, step_size=90, gamma=0.1)
+    assert float(e(0)) == pytest.approx(0.01)
+    assert float(e(89)) == pytest.approx(0.01)
+    assert float(e(90)) == pytest.approx(0.001, rel=1e-5)
+
+
+def _tiny_setup():
+    model = TAE(TAEConfig(**TINY))
+    params = model.init(jax.random.key(0))
+    loss_fn = lambda p, b: (model.forward(p, b, policy=FP32)[0], {})  # noqa: E731
+    return model, params, loss_fn
+
+
+def test_train_step_reduces_loss():
+    model, params, loss_fn = _tiny_setup()
+    opt = adamw()
+    step = jax.jit(make_train_step(loss_fn, opt, step_lr(1e-3, 1e-4, 100)))
+    state = TrainState.create(params, opt)
+    batch = jax.random.normal(jax.random.key(1), (4, 3, 32, 32))
+    losses = []
+    for it in range(5):
+        state, metrics = step(state, batch, jnp.int32(it))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
+
+
+def test_grad_accum_matches_full_batch():
+    _, params, loss_fn = _tiny_setup()
+    # large eps keeps the first AdamW update ~linear in the gradient, so the
+    # parameter comparison is well-conditioned (with default eps the step-1
+    # update is ~lr*sign(g), unstable to 1e-7 reduction-order noise)
+    opt = adamw(eps=1.0)
+    sched = step_lr(1e-3, 1e-3, 10)
+    step1 = jax.jit(make_train_step(loss_fn, opt, sched, accum_iter=1))
+    step2 = jax.jit(make_train_step(loss_fn, opt, sched, accum_iter=2))
+    batch = jax.random.normal(jax.random.key(2), (4, 3, 32, 32))
+    s1, m1 = step1(TrainState.create(params, opt), batch, jnp.int32(0))
+    s2, m2 = step2(TrainState.create(params, opt), batch, jnp.int32(0))
+    # microbatch losses average to the full-batch loss; grads & params match
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sharded_train_step_dp_fsdp_tp():
+    """Full train step jitted over a 2x2x2 (data, fsdp, tensor) mesh of
+    virtual CPU devices — multi-chip correctness without chips."""
+    model, params, loss_fn = _tiny_setup()
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    sharded = shard_params(params, mesh)
+    # qkv weight really is tensor-sharded on its output dim
+    qkv_shard = sharded["encoder"]["blocks"]["attn"]["qkv"]["w"].sharding
+    assert qkv_shard.spec[-1] == "tensor"
+
+    opt = adamw()
+    state = TrainState.create(sharded, opt)
+    step = jax.jit(make_train_step(loss_fn, opt, step_lr(1e-3, 1e-4, 100)))
+    batch = jax.device_put(jax.random.normal(jax.random.key(3), (8, 3, 32, 32)),
+                           batch_sharding(mesh))
+    state, metrics = step(state, batch, jnp.int32(0))
+    state, metrics2 = step(state, batch, jnp.int32(1))
+    assert np.isfinite(float(metrics2["loss"]))
+    assert float(metrics2["loss"]) < float(metrics["loss"])
+
+    # sharded result == single-device result
+    opt2 = adamw()
+    ref_step = jax.jit(make_train_step(loss_fn, opt2, step_lr(1e-3, 1e-4, 100)))
+    ref_state, ref_metrics = ref_step(TrainState.create(params, opt2),
+                                      jax.device_put(batch, jax.devices()[0]),
+                                      jnp.int32(0))
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]),
+                               rtol=1e-5)
+
+
+def test_param_sharding_rules_respect_divisibility():
+    """vocab-16 projections can't split 16 over an 8-way axis combination —
+    rules must fall back to replication rather than crash."""
+    model = TAE(TAEConfig(**{**TINY, "vocab_size": 6}))  # 6 divides nothing
+    params = model.init(jax.random.key(0))
+    mesh = make_mesh(data=1, fsdp=4, tensor=2)
+    shardings = param_shardings(params, mesh)
+    spec = shardings["encoder"]["dict_proj"]["w"].spec
+    # in-dim 64 divisible by 4 -> fsdp there or replicated; out-dim 6 never sharded
+    assert len(spec) == 0 or spec[-1] is None
