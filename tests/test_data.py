@@ -1,0 +1,154 @@
+"""Data-layer tests: shard expansion, tar streaming, transforms, loaders."""
+
+import numpy as np
+import pytest
+
+from tae_tpu.data.fake import make_fake_imagefolder, make_fake_wds_shard
+from tae_tpu.data.imagefolder import ImageFolder
+from tae_tpu.data.loader import BatchLoader, batched, default_collate, device_prefetch
+from tae_tpu.data.tar_stream import (
+    ShardSpec,
+    WebDatasetReader,
+    decode_jpg_cls,
+    expand_shards,
+    tar_samples,
+)
+from tae_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    center_crop_transform,
+    normalize,
+    random_resized_crop_transform,
+    to_array,
+)
+
+
+def test_expand_shards_brace_and_glob(tmp_path):
+    assert expand_shards("s-{000000..000003}.tar") == [
+        "s-000000.tar", "s-000001.tar", "s-000002.tar", "s-000003.tar"]
+    for i in range(3):
+        (tmp_path / f"x{i}.tar").touch()
+    assert len(expand_shards(str(tmp_path / "x*.tar"))) == 3
+    assert expand_shards("plain.tar") == ["plain.tar"]
+
+
+@pytest.fixture(scope="module")
+def shard(tmp_path_factory):
+    d = tmp_path_factory.mktemp("wds")
+    return make_fake_wds_shard(d / "shard-000000.tar", num_samples=24, size=48)
+
+
+def test_tar_samples_groups_by_key(shard):
+    samples = list(tar_samples(shard))
+    assert len(samples) == 24
+    assert all({"jpg", "cls", "__key__"} <= set(s) for s in samples)
+
+
+def test_reader_single_pass_and_resampled(shard):
+    import itertools
+
+    spec = ShardSpec.from_string(str(shard), resampled=False)
+    assert len(list(WebDatasetReader(spec))) == 24
+    inf = WebDatasetReader(ShardSpec.from_string(str(shard), resampled=True, seed=0))
+    assert len(list(itertools.islice(iter(inf), 60))) == 60  # infinite stream
+
+
+def test_reader_shuffle_preserves_multiset(shard):
+    spec = ShardSpec.from_string(str(shard), resampled=False, seed=1)
+    plain = [s["__key__"] for s in WebDatasetReader(spec)]
+    spec2 = ShardSpec.from_string(str(shard), resampled=False, seed=1)
+    shuf = [s["__key__"] for s in WebDatasetReader(spec2, shuffle_buffer=8)]
+    assert sorted(shuf) == sorted(plain)
+    assert shuf != plain
+
+
+def test_decode_and_train_transform(shard):
+    rng = np.random.default_rng(0)
+    tf = random_resized_crop_transform(32)
+    spec = ShardSpec.from_string(str(shard), resampled=False)
+    reader = WebDatasetReader(spec, decode=lambda s: (tf(decode_jpg_cls(s)[0], rng),
+                                                     decode_jpg_cls(s)[1]))
+    img, cls = next(iter(reader))
+    assert img.shape == (3, 32, 32) and img.dtype == np.float32
+    assert isinstance(cls, int)
+
+
+def test_val_transform_deterministic_and_normalized():
+    from PIL import Image
+
+    arr = np.random.default_rng(0).integers(0, 256, (80, 120, 3), dtype=np.uint8)
+    img = Image.fromarray(arr, "RGB")
+    tf = center_crop_transform(48, pad=16)  # resize shorter side to 64, crop 48
+    a = tf(img)
+    b = tf(img)
+    assert a.shape == (3, 48, 48)
+    np.testing.assert_array_equal(a, b)
+    # undo normalize -> values in [0, 1]
+    raw = a * np.asarray(IMAGENET_STD).reshape(-1, 1, 1) + \
+        np.asarray(IMAGENET_MEAN).reshape(-1, 1, 1)
+    assert raw.min() >= -1e-5 and raw.max() <= 1 + 1e-5
+
+
+def test_to_array_matches_totensor_semantics():
+    from PIL import Image
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 10
+    out = to_array(Image.fromarray(arr, "RGB"))
+    assert out.shape == (3, 2, 3)
+    np.testing.assert_allclose(out[0, 0, 0], arr[0, 0, 0] / 255.0)
+
+
+def test_batched_and_collate():
+    data = [(np.ones((3, 4, 4)) * i, i) for i in range(10)]
+    batches = list(batched(iter(data), 4))
+    assert batches[0][0].shape == (4, 3, 4, 4)
+    assert batches[-1][0].shape == (2, 3, 4, 4)  # remainder kept
+    batches = list(batched(iter(data), 4, drop_last=True))
+    assert len(batches) == 2
+
+
+def test_device_prefetch(shard):
+    import jax
+
+    batches = [np.ones((2, 3)) * i for i in range(5)]
+    out = list(device_prefetch(iter(batches), depth=2))
+    assert len(out) == 5
+    assert isinstance(out[0], jax.Array)
+    np.testing.assert_allclose(np.asarray(out[3]), 3.0)
+
+
+def test_imagefolder(tmp_path):
+    root = make_fake_imagefolder(tmp_path / "if", num_classes=3, per_class=4, size=32)
+    ds = ImageFolder(root, transform=center_crop_transform(16, pad=4))
+    assert len(ds) == 12
+    assert ds.classes == ["class_000", "class_001", "class_002"]
+    img, target = ds[5]
+    assert img.shape == (3, 16, 16) and target == 1
+    # strided worker split covers everything exactly once
+    seen = [t for _, t in ds.iter_samples(0, 3)] + \
+           [t for _, t in ds.iter_samples(1, 3)] + \
+           [t for _, t in ds.iter_samples(2, 3)]
+    assert len(seen) == 12
+
+
+def test_batch_loader_workers(tmp_path):
+    """Two spawn workers over two disjoint shards produce all samples."""
+    import functools
+
+    s0 = make_fake_wds_shard(tmp_path / "w-000000.tar", num_samples=10, size=24, seed=0)
+    make_fake_wds_shard(tmp_path / "w-000001.tar", num_samples=10, size=24, seed=1)
+    pattern = str(tmp_path / "w-{000000..000001}.tar")
+    loader = BatchLoader(functools.partial(_make_worker_iter, pattern),
+                         batch_size=4, num_workers=2)
+    total = sum(b[0].shape[0] for b in loader)
+    assert total == 20
+
+
+def _make_worker_iter(pattern, worker_id, num_workers):
+    spec = ShardSpec.from_string(pattern, resampled=False)
+    reader = WebDatasetReader(spec, decode=decode_jpg_cls,
+                              shard_index=worker_id, shard_count=num_workers)
+    rng = np.random.default_rng(worker_id)
+    tf = random_resized_crop_transform(16)
+    for img, cls in reader:
+        yield tf(img, rng), cls
