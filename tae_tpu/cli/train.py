@@ -1,0 +1,197 @@
+"""TAE training driver — TPU-native counterpart of reference train.py.
+
+Same training semantics (iteration-based infinite webdataset stream, 2-level
+step LR, grad accumulation, best-eval-loss checkpointing every ``save_freq``
+iterations, JSONL logs, reconstruction grids, non-finite-loss abort,
+reference train.py:59-223) with a TPU-native execution model:
+
+  * one jitted SPMD train step over a (data, fsdp, tensor) mesh — forward,
+    backward, AdamW update and metric scalars in a single XLA program;
+  * bf16 compute / fp32 params instead of fp16 autocast + GradScaler;
+  * double-buffered async host->device input, no per-step host syncs
+    (metrics fetched at logging frequency);
+  * eval-loss = mean of per-batch means, replicated exactly including the
+    unequal final batch (reference train.py:203-223).
+
+Run: ``python -m tae_tpu.cli.train --model tae_patch16_vocab16_px256
+--train_data_path 'shards-{000000..000099}.tar' --val_data_path val/ ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tae_tpu.ckpt.io import asdict_args, load_params, save_checkpoint
+from tae_tpu.cli import _common
+from tae_tpu.parallel import batch_sharding, is_main_process, shard_params
+from tae_tpu.data.loader import device_prefetch
+from tae_tpu.train import TrainState, adamw, make_train_step, step_lr
+from tae_tpu.utils.dtypes import Policy
+from tae_tpu.utils.image_grid import save_image
+from tae_tpu.utils.meters import MetricLogger, append_jsonl
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("TAE training with webdataset streams", add_help=False)
+    p.add_argument("--batch_size_per_gpu", default=256, type=int,
+                   help="global batch = batch_size_per_gpu * accum_iter "
+                        "(sharded over the data/fsdp mesh axes)")
+    p.add_argument("--accum_iter", default=1, type=int)
+    p.add_argument("--save_prefix", default="", type=str)
+    p.add_argument("--save_freq", default=10000, type=int)
+    p.add_argument("--model", default="", type=str)
+    p.add_argument("--ckpt", default="", help="resume from a checkpoint "
+                   "(tae_tpu dir or reference .pth)")
+    p.add_argument("--input_size", default=256, type=int)
+    p.add_argument("--display", action="store_true")
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--max_lr", type=float, default=1e-4)
+    p.add_argument("--min_lr", type=float, default=1e-5)
+    p.add_argument("--switch_it", type=int, default=900000)
+    p.add_argument("--num_its", type=int, default=1000001)
+    p.add_argument("--train_data_path", default="", type=str)
+    p.add_argument("--val_data_path", default="", type=str)
+    p.add_argument("--output_dir", default="./output_dir")
+    p.add_argument("--num_workers", default=16, type=int)
+    p.add_argument("--jitter_scale", default=[0.2, 1.0], type=float, nargs="+")
+    p.add_argument("--jitter_ratio", default=[3.0 / 4.0, 4.0 / 3.0], type=float,
+                   nargs="+")
+    p.add_argument("--log_freq", default=50, type=int,
+                   help="print training metrics every N iterations")
+    _common.add_tpu_args(p)
+    return p
+
+
+def main(args) -> None:
+    print(f"{args}".replace(", ", ",\n"))
+    mesh = _common.build_mesh(args)
+    print(f"mesh: {dict(mesh.shape)} over {jax.device_count()} devices")
+
+    model = _common.build_model(args.model, model_args=args.model_args)
+    policy = Policy()
+
+    params = jax.jit(lambda k: model.init(k))(jax.random.key(args.seed))
+    params = shard_params(params, mesh)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"Model: {args.model}; params (M): {n_params / 1e6}")
+
+    opt = adamw(weight_decay=args.weight_decay)
+    if args.ckpt:
+        params = load_params(args.ckpt, model, params)
+        print(f"Resumed checkpoint {args.ckpt}")
+    state = TrainState.create(params, opt)
+
+    def loss_fn(p, imgs):
+        loss, _ = model.forward(p, imgs, policy=policy,
+                                backend=args.attn_backend, remat=args.remat)
+        return loss, {}
+
+    step = jax.jit(
+        make_train_step(loss_fn, opt, step_lr(args.max_lr, args.min_lr,
+                                              args.switch_it),
+                        accum_iter=args.accum_iter),
+        donate_argnums=(0,))
+
+    def per_sample_loss(p, imgs):
+        z = model.forward_encoder(p, imgs, policy=policy, backend=args.attn_backend)
+        pred = model.forward_decoder(p, z, policy=policy, backend=args.attn_backend)
+        target = model.patchify(imgs).astype(jnp.float32)
+        return jnp.mean(jnp.square(pred.astype(jnp.float32) - target), axis=(1, 2))
+
+    eval_fn = jax.jit(per_sample_loss)
+
+    data_shard = batch_sharding(mesh)
+    train_loader = _common.wds_train_loader(
+        args, args.batch_size_per_gpu * args.accum_iter)
+
+    def train_batches():
+        for imgs, _ in train_loader:
+            yield imgs
+
+    metric_logger = MetricLogger()
+    best_eval_loss = 100.0
+    pending = None  # (it, metrics) — fetched one step late to avoid syncs
+    display_samples = None
+
+    print("Starting TAE training!")
+    for it, imgs in enumerate(device_prefetch(train_batches(),
+                                              sharding=data_shard)):
+        if it == args.num_its:
+            break
+        if args.display and it % args.save_freq == 0:
+            display_samples = np.asarray(imgs[:8])
+
+        state, metrics = step(state, imgs, jnp.int32(it))
+
+        if pending is not None:
+            m = jax.device_get(pending[1])
+            if not math.isfinite(float(m["loss"])):
+                print(f"Loss is {float(m['loss'])}, stopping training")
+                sys.exit(1)
+            metric_logger.update(loss=float(m["loss"]), lr=float(m["lr"]),
+                                 grad_norm=float(m["grad_norm"]))
+            if pending[0] % args.log_freq == 0:
+                print(f"it {pending[0]}: {metric_logger}", flush=True)
+        pending = (it, metrics)
+
+        if it != 0 and it % args.save_freq == 0:
+            print(f"Iteration {it}, evaluating ...")
+            eval_loss = evaluate(eval_fn, state.params, args)
+
+            if eval_loss < best_eval_loss:
+                print("Best eval loss improved! Saving checkpoint.")
+                save_checkpoint(
+                    Path(args.output_dir) / f"{args.save_prefix}_checkpoint",
+                    {"params": state.params, "opt": state.opt._asdict()},
+                    step=it, args=asdict_args(args),
+                    extra={"best_eval_loss": float(eval_loss)})
+                best_eval_loss = eval_loss
+
+            metric_logger.synchronize_between_processes()
+            log_stats = {**{f"train_{k}": m.global_avg
+                            for k, m in metric_logger.meters.items()},
+                         "eval_loss": float(eval_loss), "iteration": it}
+            if is_main_process():
+                append_jsonl(Path(args.output_dir) / f"{args.save_prefix}_log.txt",
+                             log_stats)
+
+            if args.display and display_samples is not None:
+                _, pred = jax.jit(lambda p, x: model.forward(p, x, policy=policy))(
+                    state.params, jnp.asarray(display_samples))
+                recon = np.asarray(model.unpatchify(pred), dtype=np.float32)
+                combined = np.concatenate([display_samples, recon], axis=0)
+                save_image(combined,
+                           Path(args.output_dir) /
+                           f"{args.save_prefix}_reconstructions_iter_{it}.jpg",
+                           nrow=8, padding=1)
+
+            metric_logger = MetricLogger()
+
+
+def evaluate(eval_fn, params, args) -> float:
+    """Full val pass; mean of per-batch mean MSE (reference train.py:203-223,
+    including the unequal-final-batch averaging)."""
+    eval_bs = 8 * args.batch_size_per_gpu
+    loader = _common.imagefolder_val_loader(args.val_data_path, args.input_size,
+                                            eval_bs, num_workers=0)
+    losses = []
+    for imgs, _ in loader:
+        padded, n = _common.pad_batch(imgs, eval_bs)
+        per = np.asarray(eval_fn(params, jnp.asarray(padded)))
+        losses.append(float(per[:n].mean()))
+    eval_loss = float(np.mean(losses))
+    print(f"Current eval loss: {eval_loss}")
+    return eval_loss
+
+
+if __name__ == "__main__":
+    args = get_args_parser().parse_args()
+    Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    main(args)

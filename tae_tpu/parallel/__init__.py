@@ -1,4 +1,8 @@
-from tae_tpu.parallel.mesh import make_mesh  # noqa: F401
+from tae_tpu.parallel.mesh import (  # noqa: F401
+    initialize_distributed,
+    is_main_process,
+    make_mesh,
+)
 from tae_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     param_shardings,

@@ -1,0 +1,114 @@
+"""End-to-end CLI smoke tests on fake data (tiny model overrides).
+
+These drive the actual drivers' main() — data pipeline, sharded train step,
+eval, checkpointing, logging, reconstruction dumps — the closest thing to
+the reference's SLURM smoke tests (SURVEY.md §4), but hermetic.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from tae_tpu.data.fake import make_fake_imagefolder, make_fake_wds_shard
+
+TINY_ARGS = json.dumps(dict(img_size=64, embed_dim=64, depth=2, num_heads=4,
+                            decoder_embed_dim=64, decoder_depth=2,
+                            decoder_num_heads=4))
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli_data")
+    make_fake_wds_shard(d / "train-000000.tar", num_samples=40, size=72, seed=0)
+    make_fake_wds_shard(d / "train-000001.tar", num_samples=40, size=72, seed=1)
+    make_fake_imagefolder(d / "val", num_classes=2, per_class=5, size=72)
+    return d
+
+
+def test_train_cli_end_to_end(data, tmp_path):
+    from tae_tpu.cli import train as cli_train
+
+    out = tmp_path / "out"
+    args = cli_train.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256",
+        "--model_args", TINY_ARGS,
+        "--input_size", "64",
+        "--batch_size_per_gpu", "8",
+        "--num_its", "12",
+        "--save_freq", "5",
+        "--num_workers", "0",
+        "--max_lr", "1e-3",
+        "--train_data_path", str(data / "train-{000000..000001}.tar"),
+        "--val_data_path", str(data / "val"),
+        "--output_dir", str(out),
+        "--save_prefix", "smoke",
+        "--display",
+        "--log_freq", "5",
+    ])
+    out.mkdir(parents=True)
+    cli_train.main(args)
+
+    log = (out / "smoke_log.txt").read_text().strip().splitlines()
+    assert len(log) == 2  # evals at it 5 and 10
+    rec = json.loads(log[-1])
+    assert {"train_loss", "train_lr", "eval_loss", "iteration"} <= set(rec)
+    assert np.isfinite(rec["eval_loss"])
+    assert (out / "smoke_checkpoint" / "meta.json").exists()
+    assert (out / "smoke_reconstructions_iter_10.jpg").exists()
+
+
+def test_evaluate_cli_with_resume(data, tmp_path):
+    from tae_tpu.cli import evaluate as cli_eval
+    from tae_tpu.cli import train as cli_train
+
+    out = tmp_path / "out"
+    out.mkdir()
+    targs = cli_train.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size_per_gpu", "8",
+        "--num_its", "6", "--save_freq", "5", "--num_workers", "0",
+        "--train_data_path", str(data / "train-000000.tar"),
+        "--val_data_path", str(data / "val"),
+        "--output_dir", str(out), "--save_prefix", "ev",
+    ])
+    cli_train.main(targs)
+
+    eargs = cli_eval.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size_per_gpu", "8",
+        "--resume", str(out / "ev_checkpoint"),
+        "--val_data_path", str(data / "val"),
+        "--output_dir", str(out), "--save_prefix", "ev", "--display",
+        "--num_workers", "0",
+    ])
+    loss = cli_eval.main(eargs)
+    assert np.isfinite(loss)
+    assert (out / "ev_sample_reconstructions.jpg").exists()
+
+
+def test_encode_cli_streams_sharded_output(data, tmp_path):
+    from tae_tpu.cli import encode as cli_encode
+
+    out = tmp_path / "enc"
+    out.mkdir()
+    args = cli_encode.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size", "16",
+        "--num_iters", "100", "--num_workers", "0",
+        "--shard_size", "32",
+        "--data_path", str(data / "train-{000000..000001}.tar"),
+        "--output_dir", str(out), "--save_prefix", "tok",
+    ])
+    stats = cli_encode.main(args)
+    assert stats["num_samples"] == 80
+    index = json.loads((out / "tok_index.json").read_text())
+    assert index["num_samples"] == 80
+    # 32-sample shards: 32+32+16
+    sizes = [s["num_samples"] for s in index["shards"]]
+    assert sizes == [32, 32, 16]
+    z = np.load(out / index["shards"][0]["path"])
+    assert z["latents"].shape == (32, 16, 16)  # (B, N=16 tokens, vocab=16)
+    assert z["latents"].dtype == np.float16
+    assert z["targets"].shape == (32,)
