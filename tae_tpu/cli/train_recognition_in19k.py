@@ -1,0 +1,162 @@
+"""Latent-classifier pretraining on ImageNet-19k-style webdataset streams.
+
+Counterpart of reference recognition/train_recognition_in19k.py: a frozen
+TAE encoder feeds latents to a VITForRecognition classifier; iteration-based
+infinite stream, plain CE, acc1/acc5 train metrics, unconditional periodic
+checkpointing + JSONL logs (reference :102-168).
+
+TPU-native topology: the reference runs a manual 2-GPU pipeline (encoder on
+cuda:0 -> D2D copy -> classifier on cuda:1, reference :58-59,110-117). Here
+both live in one jitted SPMD program — the frozen encoder runs under
+``stop_gradient`` and XLA overlaps/fuses the stages; on a mesh the same
+program shards over (data, fsdp, tensor) with no explicit copies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from tae_tpu.ckpt.io import asdict_args, load_params, save_checkpoint
+from tae_tpu.cli import _common
+from tae_tpu.data.loader import device_prefetch
+from tae_tpu.parallel import batch_sharding, is_main_process, shard_params
+from tae_tpu.train import TrainState, adamw, make_train_step, step_lr
+from tae_tpu.train.losses import cross_entropy, topk_accuracy
+from tae_tpu.utils.dtypes import Policy
+from tae_tpu.utils.meters import MetricLogger, append_jsonl
+
+
+def get_args_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("Downstream recognition pretraining (no eval)",
+                                add_help=False)
+    p.add_argument("--batch_size", default=256, type=int)
+    p.add_argument("--accum_iter", default=1, type=int)
+    p.add_argument("--save_prefix", default="", type=str)
+    p.add_argument("--save_freq", default=10000, type=int)
+    p.add_argument("--model", default="", type=str)
+    p.add_argument("--model_ckpt", default="", type=str)
+    p.add_argument("--num_classes", default=None, type=int)
+    p.add_argument("--input_size", default=256, type=int)
+    p.add_argument("--encoder", default="", type=str)
+    p.add_argument("--encoder_ckpt", default="", type=str)
+    p.add_argument("--encoder_args", default="", type=str,
+                   help="JSON overrides for the encoder factory")
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--max_lr", type=float, default=1e-4)
+    p.add_argument("--min_lr", type=float, default=1e-5)
+    p.add_argument("--switch_it", type=int, default=900000)
+    p.add_argument("--num_its", type=int, default=1000001)
+    p.add_argument("--train_data_path", default="", type=str)
+    p.add_argument("--num_workers", default=16, type=int)
+    p.add_argument("--output_dir", default="./output_dir")
+    p.add_argument("--log_freq", default=50, type=int)
+    _common.add_tpu_args(p)
+    return p
+
+
+def main(args) -> None:
+    print(f"{args}".replace(", ", ",\n"))
+    mesh = _common.build_mesh(args)
+    policy = Policy()
+
+    model = _common.build_model(args.model, model_args=args.model_args,
+                                num_classes=args.num_classes)
+    params = jax.jit(lambda k: model.init(k))(jax.random.key(args.seed))
+    params = shard_params(params, mesh)
+    print(f"Model: {args.model}; params (M): "
+          f"{sum(x.size for x in jax.tree.leaves(params)) / 1e6}")
+
+    encoder = _common.build_model(args.encoder, model_args=args.encoder_args)
+    enc_params = jax.jit(lambda k: encoder.init(k))(
+        jax.random.key(args.seed + 1))
+    enc_params = shard_params(enc_params, mesh)
+    print(f"Encoder: {args.encoder}; params (M): "
+          f"{sum(x.size for x in jax.tree.leaves(enc_params)) / 1e6}")
+
+    if args.model_ckpt:
+        params = load_params(args.model_ckpt, model, params)
+        print(f"Resumed classifier {args.model_ckpt}")
+    if args.encoder_ckpt:
+        enc_params = load_params(args.encoder_ckpt, encoder, enc_params)
+        print(f"Loaded encoder {args.encoder_ckpt}")
+
+    # frozen-encoder inference cast once to bf16 (no grads flow into it)
+    enc_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, enc_params)
+
+    opt = adamw(weight_decay=args.weight_decay)
+    state = TrainState.create(params, opt)
+
+    enc_policy = Policy(param_dtype=jnp.bfloat16)
+
+    def loss_fn(p, batch):
+        imgs, targets = batch
+        z = jax.lax.stop_gradient(encoder.forward_encoder(
+            enc_params, imgs, policy=enc_policy, backend=args.attn_backend))
+        logits = model.forward(p, z, policy=policy, backend=args.attn_backend,
+                               remat=args.remat)
+        loss = cross_entropy(logits, targets)
+        return loss, topk_accuracy(logits, targets)
+
+    step = jax.jit(
+        make_train_step(loss_fn, opt,
+                        step_lr(args.max_lr, args.min_lr, args.switch_it),
+                        accum_iter=args.accum_iter),
+        donate_argnums=(0,))
+
+    loader = _common.wds_train_loader(args, args.batch_size * args.accum_iter)
+    data_shard = batch_sharding(mesh)
+    target_shard = batch_sharding(mesh, ndim=1)
+
+    def batches():
+        for imgs, targets in loader:
+            yield imgs, targets
+
+    metric_logger = MetricLogger()
+    pending = None
+    print("Starting training!")
+    for it, (imgs, targets) in enumerate(device_prefetch(
+            batches(), sharding=(data_shard, target_shard))):
+        if it == args.num_its:
+            break
+        state, metrics = step(state, (imgs, targets), jnp.int32(it))
+
+        if pending is not None:
+            m = jax.device_get(pending[1])
+            if not math.isfinite(float(m["loss"])):
+                print(f"Loss is {float(m['loss'])}, stopping training")
+                sys.exit(1)
+            metric_logger.update(loss=float(m["loss"]))
+            metric_logger.update(n=args.batch_size, acc1=float(m["acc1"]),
+                                 acc5=float(m["acc5"]))
+            if pending[0] % args.log_freq == 0:
+                print(f"it {pending[0]}: {metric_logger}", flush=True)
+        pending = (it, metrics)
+
+        if it != 0 and it % args.save_freq == 0:
+            print(f"Iteration {it}")
+            save_checkpoint(
+                Path(args.output_dir) / f"{args.save_prefix}_{args.model}_checkpoint",
+                {"params": state.params, "opt": state.opt._asdict()},
+                step=it, args=asdict_args(args))
+            metric_logger.synchronize_between_processes()
+            log_stats = {**{f"train_{k}": m.global_avg
+                            for k, m in metric_logger.meters.items()},
+                         "iteration": it}
+            if is_main_process():
+                append_jsonl(Path(args.output_dir) /
+                             f"{args.save_prefix}_{args.model}_log.txt", log_stats)
+            metric_logger = MetricLogger()
+
+
+if __name__ == "__main__":
+    args = get_args_parser().parse_args()
+    Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    main(args)

@@ -125,7 +125,9 @@ def device_prefetch(batches: Iterable[Any], sharding=None, depth: int = 2
     def put(batch):
         if sharding is None:
             return jax.tree.map(jax.device_put, batch)
-        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+        # jax.device_put broadcasts a single sharding over the batch pytree
+        # or matches a pytree of shardings leaf-wise
+        return jax.device_put(batch, sharding)
 
     buf: collections.deque = collections.deque()
     it = iter(batches)

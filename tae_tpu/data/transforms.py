@@ -28,6 +28,8 @@ from PIL import Image
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 _BICUBIC = Image.Resampling.BICUBIC
+_INTERP = {"bicubic": Image.Resampling.BICUBIC, "bilinear": Image.Resampling.BILINEAR,
+           "nearest": Image.Resampling.NEAREST, "lanczos": Image.Resampling.LANCZOS}
 
 
 def to_array(img: Image.Image) -> np.ndarray:
@@ -77,27 +79,39 @@ def _sample_rrc_box(rng: np.random.Generator, width: int, height: int,
 def random_resized_crop_transform(size: int, scale=(0.2, 1.0),
                                   ratio=(3.0 / 4.0, 4.0 / 3.0),
                                   hflip: bool = True,
-                                  mean=IMAGENET_MEAN, std=IMAGENET_STD
+                                  mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                                  interpolation: str = "bicubic",
+                                  post=None,
                                   ) -> Callable[[Image.Image, np.random.Generator], np.ndarray]:
-    """The reference train transform. Takes (PIL image, per-worker RNG)."""
+    """The reference train transform. Takes (PIL image, per-worker RNG).
+
+    ``interpolation``: bicubic for TAE training (train.py:77), bilinear for
+    the in1k fine-tune (recognition/train_recognition_in1k.py:80).
+    ``post``: optional PIL-level hook applied after crop+flip (RandAugment).
+    """
+    resample = _INTERP[interpolation]
+
     def apply(img: Image.Image, rng: np.random.Generator) -> np.ndarray:
         top, left, h, w = _sample_rrc_box(rng, img.width, img.height, scale, ratio)
-        img = img.resize((size, size), _BICUBIC, box=(left, top, left + w, top + h))
+        img = img.resize((size, size), resample, box=(left, top, left + w, top + h))
         if hflip and rng.random() < 0.5:
             img = img.transpose(Image.Transpose.FLIP_LEFT_RIGHT)
+        if post is not None:
+            img = post(img, rng)
         return normalize(to_array(img), mean, std)
 
     return apply
 
 
-def resize_shorter(img: Image.Image, size: int) -> Image.Image:
+def resize_shorter(img: Image.Image, size: int,
+                   interpolation: str = "bicubic") -> Image.Image:
     """torchvision Resize(int): scale shorter side to ``size``, keep aspect."""
     w, h = img.size
     if w <= h:
         new = (size, max(1, int(round(h * size / w))))
     else:
         new = (max(1, int(round(w * size / h))), size)
-    return img.resize(new, _BICUBIC)
+    return img.resize(new, _INTERP[interpolation])
 
 
 def center_crop(img: Image.Image, size: int) -> Image.Image:
@@ -108,10 +122,12 @@ def center_crop(img: Image.Image, size: int) -> Image.Image:
 
 
 def center_crop_transform(size: int, pad: int = 32, mean=IMAGENET_MEAN,
-                          std=IMAGENET_STD) -> Callable[[Image.Image], np.ndarray]:
+                          std=IMAGENET_STD,
+                          interpolation: str = "bicubic"
+                          ) -> Callable[[Image.Image], np.ndarray]:
     """The reference val transform: Resize(size+pad) -> CenterCrop(size)."""
     def apply(img: Image.Image) -> np.ndarray:
-        img = center_crop(resize_shorter(img, size + pad), size)
+        img = center_crop(resize_shorter(img, size + pad, interpolation), size)
         return normalize(to_array(img), mean, std)
 
     return apply
