@@ -1,0 +1,212 @@
+"""COCO -> VOC-21 semantic-segmentation dataset (first-party, no pycocotools).
+
+Re-creates the reference's segmentation data subsystem
+(reference segmentation/coco_utils.py:84-102 + v2_extras.py:29-83):
+
+  * COCO ``instances_*.json`` parsing;
+  * the 21-category COCO->VOC label remap (background + 20 VOC classes,
+    CAT_LIST order, coco_utils.py:88 / v2_extras.py:43-48);
+  * instance-mask merge with overlapping pixels marked invalid (255)
+    (v2_extras.py:51-76);
+  * train-split filtering: images with no annotations or <=1000 annotated
+    pixels in the VOC categories are dropped (coco_utils.py:63-81);
+  * mask sources: polygon lists (rasterized via PIL ImageDraw) and both
+    RLE forms — uncompressed count lists and pycocotools' compressed LEB128
+    string encoding (decoded in numpy).
+
+Boundary-pixel note: PIL polygon rasterization can differ from pycocotools'
+scanline code by edge pixels; semantically equivalent, not bit-identical.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+
+#: COCO category id -> VOC class index (0 = background), reference order.
+CAT_LIST = [0, 5, 2, 16, 9, 44, 6, 3, 17, 62, 21, 67, 18, 19, 4, 1, 64, 20, 63, 7, 72]
+COCO_TO_VOC = {c: i for i, c in enumerate(CAT_LIST)}
+INVALID = 255
+
+
+def decode_compressed_rle(counts: str, height: int, width: int) -> np.ndarray:
+    """Decode pycocotools' compressed RLE string to a (H, W) uint8 mask.
+
+    Format: base-48-offset chars carrying 6-bit groups, LSB-first, bit 0x20
+    as continuation; values are signed; runs after the first two are
+    delta-encoded against the value two back. Column-major (Fortran) order.
+    """
+    runs: list[int] = []
+    i = 0
+    m = 0
+    while i < len(counts):
+        x = 0
+        k = 0
+        more = True
+        while more:
+            c = ord(counts[i]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            i += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * (k + 1))
+            k += 1
+        if m > 2:
+            x += runs[m - 2]
+        runs.append(x)
+        m += 1
+    flat = np.zeros(height * width, np.uint8)
+    pos = 0
+    val = 0
+    for run in runs:
+        flat[pos:pos + run] = val
+        pos += run
+        val = 1 - val
+    return flat.reshape(width, height).T  # column-major
+
+
+def decode_rle_counts(counts: list[int], height: int, width: int) -> np.ndarray:
+    flat = np.zeros(height * width, np.uint8)
+    pos = 0
+    val = 0
+    for run in counts:
+        flat[pos:pos + run] = val
+        pos += run
+        val = 1 - val
+    return flat.reshape(width, height).T
+
+
+def rasterize_polygons(polys: list[list[float]], height: int, width: int
+                       ) -> np.ndarray:
+    """Polygon list ([x0,y0,x1,y1,...] per part) -> (H, W) uint8 mask."""
+    from PIL import Image, ImageDraw
+
+    img = Image.new("L", (width, height), 0)
+    draw = ImageDraw.Draw(img)
+    for poly in polys:
+        if len(poly) >= 6:
+            draw.polygon(list(map(float, poly)), outline=1, fill=1)
+    return np.asarray(img, np.uint8)
+
+
+def annotation_mask(ann: dict, height: int, width: int) -> np.ndarray:
+    seg = ann.get("segmentation")
+    if isinstance(seg, list):
+        return rasterize_polygons(seg, height, width)
+    if isinstance(seg, dict):
+        counts = seg["counts"]
+        h, w = seg.get("size", [height, width])
+        if isinstance(counts, str):
+            return decode_compressed_rle(counts, h, w)
+        return decode_rle_counts(counts, h, w)
+    return np.zeros((height, width), np.uint8)
+
+
+def merge_instances_to_voc(anns: list[dict], height: int, width: int
+                           ) -> np.ndarray:
+    """Merge VOC-mapped instance masks; overlaps -> 255
+    (reference v2_extras.py:51-76 semantics)."""
+    seg = np.zeros((height, width), np.uint8)
+    count = np.zeros((height, width), np.uint16)
+    for ann in anns:
+        label = COCO_TO_VOC.get(ann.get("category_id"))
+        if label is None:
+            continue
+        m = annotation_mask(ann, height, width).astype(bool)
+        seg = np.maximum(seg, np.where(m, np.uint8(label), np.uint8(0)))
+        count += m
+    seg[count > 1] = INVALID
+    return seg
+
+
+class CocoVocSegmentation:
+    """COCO instances -> (PIL image, (H, W) uint8 VOC mask) pairs."""
+
+    def __init__(self, root: str | Path, image_set: str = "train",
+                 transforms: Callable | None = None):
+        root = Path(root)
+        img_dir = {"train": "train2017", "val": "val2017"}[image_set]
+        ann_file = root / "annotations" / f"instances_{img_dir}.json"
+        self.img_dir = root / img_dir
+        data = json.loads(Path(ann_file).read_text())
+        self.images = {im["id"]: im for im in data["images"]}
+        anns_by_img: dict[int, list[dict]] = {}
+        for ann in data["annotations"]:
+            anns_by_img.setdefault(ann["image_id"], []).append(ann)
+        self.anns_by_img = anns_by_img
+
+        ids = sorted(self.images)
+        if image_set == "train":
+            # drop images without >1000 annotated px in VOC categories
+            # (reference coco_utils.py:63-81)
+            def valid(img_id: int) -> bool:
+                anns = [a for a in anns_by_img.get(img_id, [])
+                        if a.get("category_id") in COCO_TO_VOC
+                        and not a.get("iscrowd", 0)]
+                return bool(anns) and sum(a.get("area", 0) for a in anns) > 1000
+
+            ids = [i for i in ids if valid(i)]
+        self.ids = ids
+        self.transforms = transforms
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __getitem__(self, idx: int):
+        from PIL import Image
+
+        info = self.images[self.ids[idx]]
+        img = Image.open(self.img_dir / info["file_name"]).convert("RGB")
+        anns = [a for a in self.anns_by_img.get(self.ids[idx], [])
+                if not a.get("iscrowd", 0)]
+        mask = merge_instances_to_voc(anns, info["height"], info["width"])
+        if self.transforms is not None:
+            return self.transforms(img, mask)
+        return img, mask
+
+
+def load_dataset(name: str, root: str | Path, image_set: str,
+                 transforms: Callable | None = None
+                 ) -> tuple[Any, int]:
+    """Dataset dispatch (reference segmentation/train.py:23-39). VOC and
+    SBD('voc_aug') layouts load their pre-rendered PNG masks directly."""
+    if name == "coco":
+        return CocoVocSegmentation(root, image_set, transforms), 21
+    if name in ("voc", "voc_aug"):
+        return VocSegmentation(root, image_set, transforms, aug=(name == "voc_aug")), 21
+    raise KeyError(f"unknown segmentation dataset {name!r}")
+
+
+class VocSegmentation:
+    """PASCAL VOC 2012 layout: JPEGImages/ + SegmentationClass/ PNG masks +
+    ImageSets/Segmentation/{train,val}.txt (SBD: img/ + cls PNG in cls_png/)."""
+
+    def __init__(self, root: str | Path, image_set: str = "train",
+                 transforms: Callable | None = None, aug: bool = False):
+        root = Path(root)
+        if aug:
+            img_dir, mask_dir = root / "img", root / "cls_png"
+            split = root / f"{image_set}.txt"
+        else:
+            base = root / "VOCdevkit" / "VOC2012" if (root / "VOCdevkit").exists() else root
+            img_dir, mask_dir = base / "JPEGImages", base / "SegmentationClass"
+            split = base / "ImageSets" / "Segmentation" / f"{image_set}.txt"
+        names = split.read_text().split()
+        self.items = [(img_dir / f"{n}.jpg", mask_dir / f"{n}.png") for n in names]
+        self.transforms = transforms
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int):
+        from PIL import Image
+
+        img_path, mask_path = self.items[idx]
+        img = Image.open(img_path).convert("RGB")
+        mask = np.asarray(Image.open(mask_path), np.uint8)
+        if self.transforms is not None:
+            return self.transforms(img, mask)
+        return img, mask

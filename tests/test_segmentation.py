@@ -1,0 +1,176 @@
+"""Segmentation subsystem tests: RLE/polygon decode, COCO->VOC merge,
+paired transforms, ConfusionMatrix, masked CE, and the CLI end-to-end."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tae_tpu.data.coco_seg import (
+    COCO_TO_VOC,
+    CocoVocSegmentation,
+    decode_compressed_rle,
+    decode_rle_counts,
+    merge_instances_to_voc,
+    rasterize_polygons,
+)
+from tae_tpu.data.fake import make_fake_coco
+from tae_tpu.data.seg_transforms import SegEvalTransform, SegTrainTransform
+from tae_tpu.utils.confusion import ConfusionMatrix
+
+ENC_ARGS = json.dumps(dict(img_size=64, embed_dim=64, depth=2, num_heads=4,
+                           decoder_embed_dim=64, decoder_depth=2,
+                           decoder_num_heads=4))
+SEG_ARGS = json.dumps(dict(vocab_size=16, decoder_embed_dim=48,
+                           decoder_depth=4, decoder_num_heads=4,
+                           num_patches=16, patch_size=16))
+
+
+def _encode_compressed_rle(mask: np.ndarray) -> str:
+    """pycocotools rleToString inverse of our decoder (for round-trips)."""
+    flat = mask.T.reshape(-1)
+    runs = []
+    pos = 0
+    val = 0
+    for i in range(len(flat) + 1):
+        if i == len(flat) or flat[i] != val:
+            runs.append(i - pos)
+            pos = i
+            val = 1 - val if i < len(flat) else val
+    out = []
+    for m, x in enumerate(runs):
+        if m > 2:
+            x -= runs[m - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = not (x == 0 and not (c & 0x10)) and not (x == -1 and (c & 0x10))
+            if more:
+                c |= 0x20
+            out.append(chr(c + 48))
+    return "".join(out)
+
+
+def test_rle_counts_decode():
+    # column-major 2x3: runs [1, 2, 2, 1] -> flat [0,1,1,0,0,1]
+    m = decode_rle_counts([1, 2, 2, 1], 2, 3)
+    np.testing.assert_array_equal(m, np.asarray([[0, 1, 1], [1, 0, 0]])
+                                  .T.reshape(3, 2).T * 0 +
+                                  np.asarray([0, 1, 1, 0, 0, 1])
+                                  .reshape(3, 2).T)
+
+
+def test_compressed_rle_roundtrip():
+    rng = np.random.default_rng(0)
+    mask = (rng.random((13, 17)) > 0.6).astype(np.uint8)
+    s = _encode_compressed_rle(mask)
+    np.testing.assert_array_equal(decode_compressed_rle(s, 13, 17), mask)
+
+
+def test_polygon_rasterization():
+    m = rasterize_polygons([[2, 2, 10, 2, 10, 10, 2, 10]], 16, 16)
+    assert m.shape == (16, 16)
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    assert 64 <= m.sum() <= 100  # ~9x9 rect incl. boundary
+
+
+def test_merge_overlap_invalid():
+    anns = [
+        {"category_id": 1, "segmentation": [[0, 0, 8, 0, 8, 8, 0, 8]]},   # person->15
+        {"category_id": 5, "segmentation": [[4, 4, 12, 4, 12, 12, 4, 12]]},  # plane->1
+    ]
+    seg = merge_instances_to_voc(anns, 16, 16)
+    assert seg[2, 2] == COCO_TO_VOC[1]
+    assert seg[10, 10] == COCO_TO_VOC[5]
+    assert seg[5, 5] == 255  # overlap
+    assert seg[14, 14] == 0  # background
+
+
+@pytest.fixture(scope="module")
+def coco_root(tmp_path_factory):
+    return make_fake_coco(tmp_path_factory.mktemp("coco"), n_train=6, n_val=3,
+                          size=64)
+
+
+def test_coco_dataset(coco_root):
+    ds = CocoVocSegmentation(coco_root, "train")
+    assert len(ds) == 6
+    img, mask = ds[0]
+    assert img.size == (64, 64)
+    assert mask.shape == (64, 64)
+    labels = set(np.unique(mask)) - {0, 255}
+    assert labels and all(0 < v <= 20 for v in labels)
+
+
+def test_train_filter_drops_small_annotations(tmp_path):
+    root = make_fake_coco(tmp_path / "c", n_train=3, n_val=1, size=64)
+    ann_file = root / "annotations" / "instances_train2017.json"
+    data = json.loads(ann_file.read_text())
+    data["annotations"][0]["area"] = 500.0  # below the >1000 px rule
+    ann_file.write_text(json.dumps(data))
+    assert len(CocoVocSegmentation(root, "train")) == 2
+
+
+def test_seg_transforms(coco_root):
+    ds = CocoVocSegmentation(coco_root, "train")
+    img, mask = ds[0]
+    rng = np.random.default_rng(0)
+    tf = SegTrainTransform(base_size=72, crop_size=64)
+    x, t = tf(img, mask, rng)
+    assert x.shape == (3, 64, 64) and x.dtype == np.float32
+    assert t.shape == (64, 64) and t.dtype == np.int32
+    ev = SegEvalTransform(64)
+    x2, t2 = ev(img, mask)
+    assert x2.shape == (3, 64, 64) and t2.shape == (64, 64)
+    # eval mask only contains original labels (nearest interpolation)
+    assert set(np.unique(t2)) <= set(np.unique(mask))
+
+
+def test_confusion_matrix():
+    cm = ConfusionMatrix(3)
+    target = np.asarray([0, 0, 1, 1, 2, 255])  # 255 ignored
+    pred = np.asarray([0, 1, 1, 1, 0, 2])
+    cm.update(target, pred)
+    acc_global, acc, iou = cm.compute()
+    assert acc_global == pytest.approx(3 / 5)
+    assert acc[1] == pytest.approx(1.0)
+    # class 1: tp=2 fn=0 fp=1 -> IoU 2/3
+    assert iou[1] == pytest.approx(2 / 3)
+    assert np.isfinite(cm.mean_iou)
+
+
+def test_masked_cross_entropy_matches_torch():
+    torch = pytest.importorskip("torch")
+    from tae_tpu.cli.train_segmentation import masked_cross_entropy
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((2, 4, 8, 8)).astype(np.float32)
+    target = rng.integers(0, 4, (2, 8, 8)).astype(np.int64)
+    target[0, :2] = 255
+    ours = float(masked_cross_entropy(jnp.asarray(logits), jnp.asarray(target)))
+    theirs = float(torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(target), ignore_index=255))
+    assert ours == pytest.approx(theirs, rel=1e-5)
+
+
+def test_segmentation_cli_end_to_end(tmp_path):
+    from tae_tpu.cli import train_segmentation as cli
+
+    root = make_fake_coco(tmp_path / "coco", n_train=16, n_val=3, size=64)
+    out = tmp_path / "out"
+    out.mkdir()
+    args = cli.get_args_parser(add_help=False).parse_args([
+        "--dataset", "coco", "--data_path", str(root),
+        "--model", "vit_segmentation_numpatches16_vocab256_base",
+        "--model_args", SEG_ARGS,
+        "--encoder", "tae_patch16_vocab16_px256", "--encoder_args", ENC_ARGS,
+        "--input_size", "64", "--batch_size_per_gpu", "8",
+        "--epochs", "1", "--workers", "0", "--lr", "1e-3",
+        "--output_dir", str(out), "--print_freq", "1",
+    ])
+    cli.main(args)
+    rec = json.loads((out / "seg_log.txt").read_text().strip().splitlines()[-1])
+    assert {"train_loss", "mean_iou", "epoch"} <= set(rec)
+    assert (out / "checkpoint" / "meta.json").exists()
