@@ -59,20 +59,38 @@ def build_model(name: str, model_args: str = "", **kwargs):
 # dataset builders (picklable worker factories for BatchLoader)
 # ---------------------------------------------------------------------------
 
+def _sample_cls(sample: dict) -> int:
+    cls = sample.get("cls", b"-1")
+    return int(cls.decode()) if isinstance(cls, bytes) else int(cls)
+
+
 def _wds_train_iter(path: str, input_size: int, jitter_scale, jitter_ratio,
                     seed: int, process_index: int, process_count: int,
                     worker_id: int, num_workers: int):
+    from tae_tpu.data import native
+
     spec = ShardSpec.from_string(path, resampled=True,
                                  seed=seed + 1000 * process_index + worker_id)
     reader = WebDatasetReader(
-        spec, decode=decode_jpg_cls, shuffle_buffer=10_000,
+        spec, decode=None, shuffle_buffer=10_000,
         shard_index=process_index * num_workers + worker_id,
         shard_count=process_count * num_workers)
+    rng = np.random.default_rng(seed + 7919 * (process_index * num_workers + worker_id))
+    use_native = native.available()
     tf = random_resized_crop_transform(input_size, scale=tuple(jitter_scale),
                                        ratio=tuple(jitter_ratio))
-    rng = np.random.default_rng(seed + 7919 * (process_index * num_workers + worker_id))
-    for img, cls in reader:
-        yield tf(img, rng), np.int32(cls)
+    for sample in reader:
+        try:
+            if use_native and "jpg" in sample:
+                arr = native.random_resized_crop(
+                    sample["jpg"], rng, input_size,
+                    scale=tuple(jitter_scale), ratio=tuple(jitter_ratio))
+            else:
+                img, _ = decode_jpg_cls(sample)
+                arr = tf(img, rng)
+        except (ValueError, KeyError, OSError):
+            continue
+        yield arr, np.int32(_sample_cls(sample))
 
 
 def wds_train_loader(args, batch_size: int) -> BatchLoader:
