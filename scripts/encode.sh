@@ -1,0 +1,18 @@
+#!/bin/bash
+# Dataset tokenization (counterpart of reference scripts/encode.sh — but
+# streaming sharded output instead of a single multi-hundred-GB .pth).
+set -euo pipefail
+MODEL="${1:?usage: encode.sh <model> <checkpoint>}"
+CKPT="${2:?usage: encode.sh <model> <checkpoint>}"
+DATA="${DATA:?set DATA to the wds shard spec to encode}"
+
+python -m tae_tpu.cli.encode \
+  --model "${MODEL}" \
+  --model_ckpt "${CKPT}" \
+  --batch_size 2048 \
+  --num_iters "${NUM_ITERS:-7500}" \
+  --input_size 256 \
+  --num_workers "${NUM_WORKERS:-16}" \
+  --data_path "${DATA}" \
+  --output_dir "${OUT:-outputs/encoded_${MODEL}}" \
+  --save_prefix encoded

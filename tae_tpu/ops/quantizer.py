@@ -19,14 +19,35 @@ import jax
 import jax.numpy as jnp
 
 
-def nearest_code(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
-    """Indices of nearest codebook entries. z: (..., V), codebook: (K, V)."""
+def nearest_code_xla(z: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
+    """XLA reference path: materializes the (..., K) distance matrix."""
     z32 = z.astype(jnp.float32)
     cb32 = codebook.astype(jnp.float32)
     # ||c_k||^2 - 2 z . c_k   (drop the z^2 term; constant per row)
     dist = jnp.sum(cb32 * cb32, axis=-1) - 2.0 * jnp.einsum(
         "...v,kv->...k", z32, cb32, preferred_element_type=jnp.float32)
     return jnp.argmin(dist, axis=-1)
+
+
+def nearest_code(z: jnp.ndarray, codebook: jnp.ndarray,
+                 backend: str | None = None) -> jnp.ndarray:
+    """Indices of nearest codebook entries. z: (..., V), codebook: (K, V).
+
+    Dispatches to the fused Pallas kernel on TPU (codebook streamed through
+    VMEM, no (M, K) matrix in HBM) and the XLA path elsewhere / for very
+    wide latents.
+    """
+    from tae_tpu.ops.attention import default_backend
+
+    backend = backend or default_backend()
+    if backend == "pallas":
+        from tae_tpu.ops.pallas.quantizer import nearest_code_pallas, supported
+
+        if supported(z.shape[-1]):
+            lead = z.shape[:-1]
+            z2d = z.reshape(-1, z.shape[-1])
+            return nearest_code_pallas(z2d, codebook).reshape(lead)
+    return nearest_code_xla(z, codebook)
 
 
 def vq_ste(z: jnp.ndarray, codebook: jnp.ndarray, beta: float = 0.25

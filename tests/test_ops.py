@@ -108,3 +108,17 @@ def test_vq_ste_gradient_is_identity_to_encoder():
 
     g = jax.grad(f)(z)
     np.testing.assert_allclose(np.asarray(g), 2.0 * np.ones_like(g), atol=1e-6)
+
+
+@pytest.mark.parametrize("m,k,v,bm,bk", [(32, 64, 16, 8, 16), (100, 130, 32, 32, 64),
+                                         (16, 8192, 256, 16, 512)])
+def test_nearest_code_pallas_matches_xla(m, k, v, bm, bk):
+    from tae_tpu.ops.pallas.quantizer import nearest_code_pallas
+    from tae_tpu.ops.quantizer import nearest_code_xla
+
+    kz, kc = jax.random.split(jax.random.key(3))
+    z = jax.random.normal(kz, (m, v), jnp.float32)
+    cb = jax.random.normal(kc, (k, v), jnp.float32)
+    ref = nearest_code_xla(z, cb)
+    got = nearest_code_pallas(z, cb, block_m=bm, block_k=bk, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

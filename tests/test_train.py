@@ -141,3 +141,55 @@ def test_param_sharding_rules_respect_divisibility():
     spec = shardings["encoder"]["dict_proj"]["w"].spec
     # in-dim 64 divisible by 4 -> fsdp there or replicated; out-dim 6 never sharded
     assert len(spec) == 0 or spec[-1] is None
+
+
+def test_dynamic_loss_scale():
+    from tae_tpu.train.scaler import DynamicLossScale, ScalerState
+
+    scaler = DynamicLossScale(growth_interval=2)
+    state = ScalerState.create(init_scale=8.0)
+    loss = jnp.float32(2.0)
+    assert float(scaler.scale(state, loss)) == 16.0
+
+    grads = {"w": jnp.asarray([8.0, 16.0])}
+    g, state, finite = scaler.unscale_and_update(state, grads)
+    assert bool(finite)
+    np.testing.assert_allclose(np.asarray(g["w"]), [1.0, 2.0])
+    assert float(state.scale) == 8.0 and int(state.growth_tracker) == 1
+
+    # second finite step hits growth_interval -> scale doubles
+    g, state, finite = scaler.unscale_and_update(state, grads)
+    assert float(state.scale) == 16.0 and int(state.growth_tracker) == 0
+
+    # non-finite grads -> zeroed grads, halved scale, tracker reset
+    bad = {"w": jnp.asarray([jnp.inf, 1.0])}
+    g, state, finite = scaler.unscale_and_update(state, bad)
+    assert not bool(finite)
+    np.testing.assert_allclose(np.asarray(g["w"]), [0.0, 0.0])
+    assert float(state.scale) == 8.0
+
+
+def test_meters_and_jsonl(tmp_path):
+    import json
+
+    from tae_tpu.utils.meters import MetricLogger, SmoothedValue, append_jsonl
+
+    m = SmoothedValue(window_size=3)
+    for v in [1.0, 2.0, 3.0, 4.0]:
+        m.update(v)
+    assert m.value == 4.0 and m.max == 4.0
+    assert m.avg == pytest.approx(3.0)      # window [2,3,4]
+    assert m.global_avg == pytest.approx(2.5)
+    assert m.median == pytest.approx(3.0)
+
+    logger = MetricLogger()
+    logger.update(loss=1.5)
+    logger.update(n=4, acc1=50.0)
+    assert logger.loss.global_avg == 1.5
+    assert logger.acc1.count == 4
+    assert "loss" in str(logger)
+
+    append_jsonl(tmp_path / "log.txt", {"a": 1})
+    append_jsonl(tmp_path / "log.txt", {"a": 2})
+    lines = (tmp_path / "log.txt").read_text().strip().splitlines()
+    assert [json.loads(l)["a"] for l in lines] == [1, 2]
