@@ -53,11 +53,22 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--switch_it", type=int, default=900000)
     p.add_argument("--num_its", type=int, default=1000001)
     p.add_argument("--train_data_path", default="", type=str)
+    p.add_argument("--latents_path", default="", type=str,
+                   help="train from pre-encoded latent shards (encode CLI "
+                        "output index) instead of images+frozen encoder")
     p.add_argument("--num_workers", default=16, type=int)
     p.add_argument("--output_dir", default="./output_dir")
     p.add_argument("--log_freq", default=50, type=int)
     _common.add_tpu_args(p)
     return p
+
+
+def _latent_iter(path: str, seed: int, worker_id: int, num_workers: int):
+    from tae_tpu.data.latents import LatentDataset
+
+    ds = LatentDataset(path)
+    yield from ds.iter_samples(worker_id, num_workers, loop=True,
+                               seed=seed + worker_id)
 
 
 def main(args) -> None:
@@ -72,24 +83,25 @@ def main(args) -> None:
     print(f"Model: {args.model}; params (M): "
           f"{sum(x.size for x in jax.tree.leaves(params)) / 1e6}")
 
-    encoder = _common.build_model(args.encoder, model_args=args.encoder_args)
-    enc_params = jax.jit(lambda k: encoder.init(k))(
-        jax.random.key(args.seed + 1))
-    enc_params = shard_params(enc_params, mesh)
-    print(f"Encoder: {args.encoder}; params (M): "
-          f"{sum(x.size for x in jax.tree.leaves(enc_params)) / 1e6}")
+    from_latents = bool(args.latents_path)
+    if not from_latents:
+        encoder = _common.build_model(args.encoder, model_args=args.encoder_args)
+        enc_params = jax.jit(lambda k: encoder.init(k))(
+            jax.random.key(args.seed + 1))
+        enc_params = shard_params(enc_params, mesh)
+        print(f"Encoder: {args.encoder}; params (M): "
+              f"{sum(x.size for x in jax.tree.leaves(enc_params)) / 1e6}")
+        if args.encoder_ckpt:
+            enc_params = load_params(args.encoder_ckpt, encoder, enc_params)
+            print(f"Loaded encoder {args.encoder_ckpt}")
+        # frozen-encoder inference cast once to bf16 (no grads flow into it)
+        enc_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, enc_params)
 
     if args.model_ckpt:
         params = load_params(args.model_ckpt, model, params)
         print(f"Resumed classifier {args.model_ckpt}")
-    if args.encoder_ckpt:
-        enc_params = load_params(args.encoder_ckpt, encoder, enc_params)
-        print(f"Loaded encoder {args.encoder_ckpt}")
-
-    # frozen-encoder inference cast once to bf16 (no grads flow into it)
-    enc_params = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating)
-        else x, enc_params)
 
     opt = adamw(weight_decay=args.weight_decay)
     state = TrainState.create(params, opt)
@@ -97,9 +109,12 @@ def main(args) -> None:
     enc_policy = Policy(param_dtype=jnp.bfloat16)
 
     def loss_fn(p, batch):
-        imgs, targets = batch
-        z = jax.lax.stop_gradient(encoder.forward_encoder(
-            enc_params, imgs, policy=enc_policy, backend=args.attn_backend))
+        x, targets = batch
+        if from_latents:
+            z = x
+        else:
+            z = jax.lax.stop_gradient(encoder.forward_encoder(
+                enc_params, x, policy=enc_policy, backend=args.attn_backend))
         logits = model.forward(p, z, policy=policy, backend=args.attn_backend,
                                remat=args.remat)
         loss = cross_entropy(logits, targets)
@@ -111,8 +126,18 @@ def main(args) -> None:
                         accum_iter=args.accum_iter),
         donate_argnums=(0,))
 
-    loader = _common.wds_train_loader(args, args.batch_size * args.accum_iter)
-    data_shard = batch_sharding(mesh)
+    if from_latents:
+        import functools
+
+        from tae_tpu.data.loader import BatchLoader
+
+        make_iter = functools.partial(_latent_iter, args.latents_path, args.seed)
+        loader = BatchLoader(make_iter, args.batch_size * args.accum_iter,
+                             num_workers=args.num_workers, drop_last=True)
+        data_shard = batch_sharding(mesh, ndim=3)
+    else:
+        loader = _common.wds_train_loader(args, args.batch_size * args.accum_iter)
+        data_shard = batch_sharding(mesh)
     target_shard = batch_sharding(mesh, ndim=1)
 
     def batches():

@@ -1,0 +1,112 @@
+"""High-level tokenizer API — the serving-side face of the framework.
+
+The reference exposes tokenization only through the encode.py script
+(reference encode.py:76-91). For production/serving use, ``Tokenizer`` wraps
+a trained TAE behind three jitted methods:
+
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab256_px256", ckpt_path)
+    z   = tok.encode(images)        # (B, N, vocab) bf16 latents
+    rec = tok.decode(z)             # (B, 3, H, W) reconstructions
+    ids = tok.encode_discrete(z_or_images)   # VQ superset: int32 token ids
+
+Inputs are normalized (C, H, W) float batches (the data layer's output); the
+``encode_jpeg`` convenience runs the native decode path for raw bytes.
+Parameters are held in the compute dtype (bf16 by default) so serving never
+re-casts per call.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tae_tpu.utils.dtypes import Policy
+
+Params = Any
+
+
+@dataclasses.dataclass
+class Tokenizer:
+    model: Any                      # tae_tpu.models.tae.TAE
+    params: Params
+    policy: Policy
+    _encode = None
+    _decode = None
+
+    @classmethod
+    def from_checkpoint(cls, model_name: str, ckpt: str | None = None,
+                        dtype=jnp.bfloat16, mesh=None, **model_overrides
+                        ) -> "Tokenizer":
+        from tae_tpu import models
+        from tae_tpu.ckpt.io import load_params
+
+        model = models.create(model_name, **model_overrides)
+        params = jax.jit(lambda k: model.init(k, dtype=dtype))(jax.random.key(0))
+        if mesh is not None:
+            from tae_tpu.parallel import shard_params
+
+            params = shard_params(params, mesh)
+        if ckpt:
+            params = load_params(ckpt, model, params)
+        params = jax.tree.map(
+            lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+            else x, params)
+        return cls(model=model, params=params,
+                   policy=Policy(param_dtype=dtype, compute_dtype=dtype))
+
+    def __post_init__(self):
+        m, pol = self.model, self.policy
+        self._encode = jax.jit(lambda p, x: m.forward_encoder(p, x, policy=pol))
+        self._decode = jax.jit(
+            lambda p, z: m.unpatchify(m.forward_decoder(p, z, policy=pol)))
+
+    # ------------------------------------------------------------------ api
+    def encode(self, images) -> jax.Array:
+        """(B, 3, H, W) normalized floats -> (B, N, vocab) latents."""
+        return self._encode(self.params, jnp.asarray(images))
+
+    def decode(self, latents) -> jax.Array:
+        """(B, N, vocab) latents -> (B, 3, H, W) reconstructions."""
+        return self._decode(self.params, jnp.asarray(latents))
+
+    def reconstruct(self, images) -> jax.Array:
+        return self.decode(self.encode(images))
+
+    def encode_discrete(self, images_or_latents) -> jax.Array:
+        """VQ superset: nearest-codebook token ids (requires quantize=True
+        config, which adds the codebook parameter)."""
+        if "codebook" not in self.params:
+            raise ValueError("model has no codebook; build with quantize=True")
+        x = jnp.asarray(images_or_latents)
+        z = self.encode(x) if x.ndim == 4 else x
+        from tae_tpu.ops.quantizer import nearest_code
+
+        return nearest_code(z, self.params["codebook"])
+
+    def decode_discrete(self, ids) -> jax.Array:
+        if "codebook" not in self.params:
+            raise ValueError("model has no codebook; build with quantize=True")
+        z = self.params["codebook"][jnp.asarray(ids)]
+        return self.decode(z)
+
+    def encode_jpeg(self, jpegs: Sequence[bytes], deterministic: bool = True
+                    ) -> jax.Array:
+        """Raw JPEG bytes -> latents via the native (or PIL) val transform."""
+        from tae_tpu.data import native
+        from tae_tpu.data.transforms import center_crop_transform
+
+        size = self.model.cfg.img_size
+        if native.available():
+            arrs = [native.center_crop(b, size) for b in jpegs]
+        else:
+            import io
+
+            from PIL import Image
+
+            tf = center_crop_transform(size)
+            arrs = [tf(Image.open(io.BytesIO(b)).convert("RGB")) for b in jpegs]
+        return self.encode(np.stack(arrs))

@@ -1,0 +1,104 @@
+"""Tokenizer serving API + latent-shard round-trip tests."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tae_tpu.data.fake import make_fake_wds_shard
+from tae_tpu.tokenizer import Tokenizer
+
+TINY = dict(img_size=64, embed_dim=64, depth=2, num_heads=4,
+            decoder_embed_dim=64, decoder_depth=2, decoder_num_heads=4)
+
+
+def test_tokenizer_encode_decode_roundtrip_shapes():
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                    dtype=jnp.float32, **TINY)
+    imgs = np.random.default_rng(0).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    z = tok.encode(imgs)
+    assert z.shape == (2, 16, 16)
+    rec = tok.decode(z)
+    assert rec.shape == (2, 3, 64, 64)
+    rec2 = tok.reconstruct(imgs)
+    np.testing.assert_allclose(np.asarray(rec2), np.asarray(rec), atol=1e-6)
+
+
+def test_tokenizer_discrete_superset():
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                    dtype=jnp.float32, quantize=True,
+                                    codebook_size=32, **TINY)
+    imgs = np.random.default_rng(1).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    ids = tok.encode_discrete(imgs)
+    assert ids.shape == (2, 16) and ids.dtype == jnp.int32
+    assert int(ids.max()) < 32
+    rec = tok.decode_discrete(ids)
+    assert rec.shape == (2, 3, 64, 64)
+
+
+def test_tokenizer_rejects_discrete_without_codebook():
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                    dtype=jnp.float32, **TINY)
+    with pytest.raises(ValueError, match="codebook"):
+        tok.encode_discrete(np.zeros((1, 16, 16), np.float32))
+
+
+def test_tokenizer_encode_jpeg():
+    import io
+
+    from PIL import Image
+
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                    dtype=jnp.float32, **TINY)
+    rng = np.random.default_rng(2)
+    bufs = []
+    for _ in range(2):
+        arr = rng.integers(0, 256, (80, 96, 3), dtype=np.uint8)
+        b = io.BytesIO()
+        Image.fromarray(arr, "RGB").save(b, format="JPEG")
+        bufs.append(b.getvalue())
+    z = tok.encode_jpeg(bufs)
+    assert z.shape == (2, 16, 16)
+
+
+def test_latent_dataset_roundtrip(tmp_path):
+    """encode CLI -> LatentDataset -> in19k training from latents."""
+    from tae_tpu.cli import encode as cli_encode
+    from tae_tpu.cli import train_recognition_in19k as cli19
+    from tae_tpu.data.latents import LatentDataset
+
+    make_fake_wds_shard(tmp_path / "d-000000.tar", num_samples=24, size=72,
+                        num_classes=5)
+    enc_out = tmp_path / "enc"
+    enc_out.mkdir()
+    enc_args_json = json.dumps(TINY)
+    args = cli_encode.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", enc_args_json,
+        "--input_size", "64", "--batch_size", "8", "--num_workers", "0",
+        "--shard_size", "10", "--num_iters", "100",
+        "--data_path", str(tmp_path / "d-000000.tar"),
+        "--output_dir", str(enc_out), "--save_prefix", "tok"])
+    cli_encode.main(args)
+
+    ds = LatentDataset(enc_out)
+    assert len(ds) == 24
+    z, t = next(ds.iter_samples())
+    assert z.shape == (16, 16) and z.dtype == np.float32
+
+    out = tmp_path / "cls"
+    out.mkdir()
+    cls_args = json.dumps(dict(vocab_size=16, num_patches=16,
+                               decoder_embed_dim=48, decoder_depth=2,
+                               decoder_num_heads=4))
+    targs = cli19.get_args_parser().parse_args([
+        "--model", "vit_recognition_numpatches16_vocab256_base",
+        "--model_args", cls_args,
+        "--latents_path", str(enc_out),
+        "--num_classes", "5", "--batch_size", "8",
+        "--num_its", "6", "--save_freq", "5", "--num_workers", "0",
+        "--output_dir", str(out), "--save_prefix", "lat"])
+    cli19.main(targs)
+    log = out / "lat_vit_recognition_numpatches16_vocab256_base_log.txt"
+    rec = json.loads(log.read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["train_loss"])
