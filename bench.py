@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 MODEL = "tae_patch64_vocab4096_px256"
 BASELINE_IMG_PER_SEC = 10_000.0
-BATCH = 64
+BATCH = 128
 K_LONG = 16
 
 

@@ -130,17 +130,34 @@ def attention_init(key: jax.Array, cfg: AttentionConfig, dtype=jnp.float32) -> P
 
 def attention_apply(p: Params, x: jnp.ndarray, cfg: AttentionConfig,
                     backend: str | None = None) -> jnp.ndarray:
+    from tae_tpu.ops.attention import default_backend
+
     b, n, c = x.shape
     h = cfg.num_heads
     dh = c // h
-    qkv = linear_apply(p["qkv"], x).reshape(b, n, 3, h, dh)
-    qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, B, H, N, dh)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    if cfg.qk_norm:
-        q = layer_norm_apply(p["q_norm"], q, cfg.ln_eps)
-        k = layer_norm_apply(p["k_norm"], k, cfg.ln_eps)
-    y = attention(q, k, v, backend=backend)
-    y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
+    qkv = linear_apply(p["qkv"], x)  # (B, N, 3C)
+    resolved = backend or default_backend()
+    if backend is None and resolved == "pallas" and n < 128:
+        # measured on v5e: the fused kernel wins at N=256 (+24% end-to-end
+        # encode) but XLA's folded-batch einsums win at N<=64 where
+        # attention is a negligible FLOP fraction and per-head matmuls are
+        # too small for the MXU
+        resolved = "xla"
+    if resolved == "pallas" and not cfg.qk_norm:
+        # fully fused path: head split/merge happens inside the kernel, so
+        # no (B, H, N, dh) transposes ever hit HBM (they cost more than the
+        # attention math itself at TAE shapes)
+        from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention
+
+        y = fused_qkv_attention(qkv, h)
+    else:
+        qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        if cfg.qk_norm:
+            q = layer_norm_apply(p["q_norm"], q, cfg.ln_eps)
+            k = layer_norm_apply(p["k_norm"], k, cfg.ln_eps)
+        y = attention(q, k, v, backend=resolved)
+        y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
     return linear_apply(p["proj"], y)
 
 

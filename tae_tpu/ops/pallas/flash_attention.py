@@ -3,14 +3,17 @@
 TPU replacement for the reference's flash-attention-2 SDPA call
 (reference tae.py:78). The TAE shape regime is the *opposite* of the long-
 sequence case flash attention was designed for: N ∈ {4, 16, 64, 256} tokens
-with 16-32 heads of dim 64-80 (SURVEY.md §3.5). The entire (N, N) score
-matrix fits comfortably in VMEM, so the right kernel is a single fused
-pass per (batch·head): QKᵀ → softmax → ·V with no HBM round-trip for the
-scores — blockwise online-softmax streaming would only add loop overhead.
+with 16-32 heads of dim 64-80 (SURVEY.md §3.5). The whole per-image
+attention problem — every head — fits in VMEM, so the kernel processes one
+batch element per grid step with all heads as a batched in-kernel
+``dot_general`` (a per-(batch·head) grid was measured 10-20x slower: ~20µs
+of program overhead per tiny matmul pair). Scores never round-trip to HBM,
+which is what makes this faster than the XLA path (whose fp32 (B,H,N,N)
+logits are HBM-bound at these shapes).
 
-Forward and backward are both single-pass kernels wired up via
-``jax.custom_vjp``; the backward recomputes the score matrix from the saved
-log-sum-exp (the standard flash-attention backward, degenerate single-block
+Forward and backward are single-pass kernels wired up via
+``jax.custom_vjp``; the backward recomputes scores from the saved
+log-sum-exp (standard flash-attention backward, degenerate single-block
 case). The inference path uses a separate kernel that skips the LSE output.
 
 Numerics match :func:`tae_tpu.ops.attention.attention_xla`: fp32 score
@@ -24,24 +27,27 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu  # noqa: F401  (TPU memory spaces)
+from jax.experimental.pallas import tpu as pltpu
+
+_BATCHED = (((2,), (2,)), ((0,), (0,)))  # contract dh, batch over heads
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, with_lse: bool,
                 lse_ref=None):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0]                                   # (H, N, dh)
+    k = k_ref[0]
     v = v_ref[0]
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q, k, _BATCHED,
                             preferred_element_type=jnp.float32) * scale
-    m = jnp.max(s, axis=-1, keepdims=True)
+    m = jnp.max(s, axis=-1, keepdims=True)         # (H, N, 1)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+    o = jax.lax.dot_general(p.astype(v.dtype), v,
+                            (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
     o_ref[0] = (o / l).astype(o_ref.dtype)
     if with_lse:
-        lse_ref[0] = m + jnp.log(l)  # (N, 1)
+        lse_ref[0] = m + jnp.log(l)                # (H, N, 1)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
@@ -51,51 +57,51 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     v = v_ref[0].astype(jnp.float32)
     o = o_ref[0].astype(jnp.float32)
     do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0]  # (N, 1)
+    lse = lse_ref[0]                               # (H, N, 1)
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    s = jax.lax.dot_general(q, k, _BATCHED,
                             preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse)                                       # (N, N)
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+    p = jnp.exp(s - lse)                           # (H, N, N)
+    dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do, v, _BATCHED,
                              preferred_element_type=jnp.float32)
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)            # (N, 1)
+    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (H, N, 1)
     ds = p * (dp - delta) * scale
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+    dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
                              preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
     dk_ref[0] = dk.astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _bh_spec(n: int, dh: int):
-    return pl.BlockSpec((1, n, dh), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _qkv_spec(h: int, n: int, dh: int):
+    return pl.BlockSpec((1, h, n, dh), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
-def _lse_spec(n: int):
-    # (bh, N, 1): keeping the trailing singleton keeps the block shape legal
-    # under Mosaic's (÷8, ÷128)-or-full tiling rule for every N in {4..256}.
-    return pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+def _lse_spec(h: int, n: int):
+    return pl.BlockSpec((1, h, n, 1), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _fwd_call(q, k, v, scale: float, with_lse: bool, interpret: bool):
-    bh, n, dh = q.shape
-    out_shape = [jax.ShapeDtypeStruct((bh, n, dh), q.dtype)]
-    out_specs = [_bh_spec(n, dh)]
+    b, h, n, dh = q.shape
+    out_shape = [jax.ShapeDtypeStruct((b, h, n, dh), q.dtype)]
+    out_specs = [_qkv_spec(h, n, dh)]
     if with_lse:
-        out_shape.append(jax.ShapeDtypeStruct((bh, n, 1), jnp.float32))
-        out_specs.append(_lse_spec(n))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32))
+        out_specs.append(_lse_spec(h, n))
     kernel = functools.partial(_fwd_kernel, scale=scale, with_lse=False)
     if with_lse:
         kernel = lambda qr, kr, vr, or_, lr: _fwd_kernel(  # noqa: E731
             qr, kr, vr, or_, scale=scale, with_lse=True, lse_ref=lr)
     res = pl.pallas_call(
         kernel,
-        grid=(bh,),
-        in_specs=[_bh_spec(n, dh)] * 3,
+        grid=(b,),
+        in_specs=[_qkv_spec(h, n, dh)] * 3,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -116,13 +122,14 @@ def _flash_fwd(q, k, v, scale: float, interpret: bool):
 
 def _flash_bwd(scale: float, interpret: bool, residuals, do):
     q, k, v, o, lse = residuals
-    bh, n, dh = q.shape
+    b, h, n, dh = q.shape
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
-        grid=(bh,),
-        in_specs=[_bh_spec(n, dh)] * 4 + [_lse_spec(n)] + [_bh_spec(n, dh)],
-        out_specs=[_bh_spec(n, dh)] * 3,
-        out_shape=[jax.ShapeDtypeStruct((bh, n, dh), q.dtype)] * 3,
+        grid=(b,),
+        in_specs=[_qkv_spec(h, n, dh)] * 4 + [_lse_spec(h, n)]
+        + [_qkv_spec(h, n, dh)],
+        out_specs=[_qkv_spec(h, n, dh)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((b, h, n, dh), q.dtype)] * 3,
         interpret=interpret,
     )(q, k, v, o, lse, do)
     return dq, dk, dv
@@ -135,9 +142,149 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: float | None = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Fused attention. q, k, v: (B, H, N, dh) -> (B, H, N, dh)."""
-    b, h, n, dh = q.shape
+    *_, dh = q.shape
     if scale is None:
         scale = dh ** -0.5
-    fold = lambda x: x.reshape(b * h, n, dh)  # noqa: E731
-    o = _flash(fold(q), fold(k), fold(v), float(scale), interpret)
-    return o.reshape(b, h, n, dh)
+    return _flash(q, k, v, float(scale), interpret)
+
+
+# ---------------------------------------------------------------------------
+# Packed variant: (B, N, 3C) qkv in, (B, N, C) out.
+#
+# The head split/merge transposes around attention cost more HBM traffic
+# than the attention math itself at TAE shapes (measured ~12ms of the p16
+# encoder's 64ms batch). This variant moves them inside the kernel: the
+# fused qkv projection's output feeds straight in, the output-projection
+# matmul reads straight out, and all (de)interleaving happens in VMEM.
+# ---------------------------------------------------------------------------
+
+
+def _packed_fwd_kernel(qkv_ref, o_ref, *, h: int, scale: float,
+                       with_lse: bool, lse_ref=None):
+    """Per-head static loop over contiguous column slices of the packed qkv
+    block — no reshapes/transposes (Mosaic rejects lane-dim splits like
+    (N, C) -> (N, H, dh)). H small matmuls per program still amortize the
+    program overhead that made the per-(batch·head) grid slow."""
+    x = qkv_ref[0]                                  # (N, 3C)
+    c = x.shape[1] // 3
+    dh = c // h
+    for i in range(h):
+        q = x[:, i * dh:(i + 1) * dh]
+        k = x[:, c + i * dh:c + (i + 1) * dh]
+        v = x[:, 2 * c + i * dh:2 * c + (i + 1) * dh]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, i * dh:(i + 1) * dh] = (o / l).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0, i] = m + jnp.log(l)
+
+
+def _packed_bwd_kernel(qkv_ref, o_ref, lse_ref, do_ref, dqkv_ref, *,
+                       h: int, scale: float):
+    x = qkv_ref[0]                                  # (N, 3C)
+    c = x.shape[1] // 3
+    dh = c // h
+    for i in range(h):
+        q = x[:, i * dh:(i + 1) * dh].astype(jnp.float32)
+        k = x[:, c + i * dh:c + (i + 1) * dh].astype(jnp.float32)
+        v = x[:, 2 * c + i * dh:2 * c + (i + 1) * dh].astype(jnp.float32)
+        o = o_ref[0, :, i * dh:(i + 1) * dh].astype(jnp.float32)
+        do = do_ref[0, :, i * dh:(i + 1) * dh].astype(jnp.float32)
+        lse = lse_ref[0, i]                         # (N, 1)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dt = dqkv_ref.dtype
+        dqkv_ref[0, :, i * dh:(i + 1) * dh] = dq.astype(dt)
+        dqkv_ref[0, :, c + i * dh:c + (i + 1) * dh] = dk.astype(dt)
+        dqkv_ref[0, :, 2 * c + i * dh:2 * c + (i + 1) * dh] = dv.astype(dt)
+
+
+def _packed_spec(n: int, c: int):
+    return pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _lse_spec3(h: int, n: int):
+    return pl.BlockSpec((1, h, n, 1), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _packed_fwd_call(qkv, h: int, scale: float, with_lse: bool,
+                     interpret: bool):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    out_shape = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)]
+    out_specs = [_packed_spec(n, c)]
+    if with_lse:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, n, 1), jnp.float32))
+        out_specs.append(_lse_spec3(h, n))
+    kernel = functools.partial(_packed_fwd_kernel, h=h, scale=scale,
+                               with_lse=False)
+    if with_lse:
+        kernel = lambda qr, or_, lr: _packed_fwd_kernel(  # noqa: E731
+            qr, or_, h=h, scale=scale, with_lse=True, lse_ref=lr)
+    res = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[_packed_spec(n, c3)],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(qkv)
+    return res if with_lse else (res[0], None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_qkv_attention(qkv, num_heads: int, scale: float | None = None,
+                        interpret: bool = False):
+    """(B, N, 3C) packed qkv -> (B, N, C) attention output, head split/merge
+    fused into the kernel."""
+    if scale is None:
+        scale = (qkv.shape[-1] // 3 // num_heads) ** -0.5
+    o, _ = _packed_fwd_call(qkv, num_heads, float(scale), False, interpret)
+    return o
+
+
+def _packed_vjp_fwd(qkv, num_heads, scale, interpret):
+    if scale is None:
+        scale = (qkv.shape[-1] // 3 // num_heads) ** -0.5
+    o, lse = _packed_fwd_call(qkv, num_heads, float(scale), True, interpret)
+    return o, (qkv, o, lse)
+
+
+def _packed_vjp_bwd(num_heads, scale, interpret, residuals, do):
+    qkv, o, lse = residuals
+    b, n, c3 = qkv.shape
+    if scale is None:
+        scale = (c3 // 3 // num_heads) ** -0.5
+    dqkv = pl.pallas_call(
+        functools.partial(_packed_bwd_kernel, h=num_heads, scale=float(scale)),
+        grid=(b,),
+        in_specs=[_packed_spec(n, c3), _packed_spec(n, c3 // 3),
+                  _lse_spec3(num_heads, n), _packed_spec(n, c3 // 3)],
+        out_specs=[_packed_spec(n, c3)],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c3), qkv.dtype)],
+        interpret=interpret,
+    )(qkv, o, lse, do)[0]
+    return (dqkv,)
+
+
+fused_qkv_attention.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)

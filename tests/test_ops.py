@@ -122,3 +122,39 @@ def test_nearest_code_pallas_matches_xla(m, k, v, bm, bk):
     ref = nearest_code_xla(z, cb)
     got = nearest_code_pallas(z, cb, block_m=bm, block_k=bk, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("n,h,dh", [(256, 16, 64), (16, 32, 80), (4, 32, 80)])
+def test_fused_qkv_attention_matches_split_path(n, h, dh):
+    from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention
+
+    c = h * dh
+    qkv = jax.random.normal(jax.random.key(5), (2, n, 3 * c), jnp.float32)
+    got = fused_qkv_attention(qkv, h, interpret=True)
+    # reference: split -> attention_xla -> merge
+    r = qkv.reshape(2, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    ref = attention_xla(r[0], r[1], r[2]).transpose(0, 2, 1, 3).reshape(2, n, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_qkv_attention_grad():
+    from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention
+
+    n, h, dh = 16, 4, 64
+    c = h * dh
+    qkv = jax.random.normal(jax.random.key(6), (1, n, 3 * c), jnp.float32)
+    ct = jax.random.normal(jax.random.key(7), (1, n, c), jnp.float32)
+
+    def loss_fused(qkv):
+        return jnp.sum(fused_qkv_attention(qkv, h, None, True) * ct)
+
+    def loss_ref(qkv):
+        r = qkv.reshape(1, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        y = attention_xla(r[0], r[1], r[2]).transpose(0, 2, 1, 3).reshape(1, n, c)
+        return jnp.sum(y * ct)
+
+    g1 = jax.grad(loss_fused)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=5e-5, rtol=5e-5)
