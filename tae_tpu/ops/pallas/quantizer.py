@@ -53,7 +53,7 @@ def _kernel(z_ref, cb_ref, dist_ref, idx_ref, *, block_k: int, k_total: int):
 
 
 def nearest_code_pallas(z: jnp.ndarray, codebook: jnp.ndarray,
-                        block_m: int = 256, block_k: int = 512,
+                        block_m: int = 128, block_k: int = 256,
                         interpret: bool = False) -> jnp.ndarray:
     """z: (M, V), codebook: (K, V) -> int32 indices (M,)."""
     m, v = z.shape

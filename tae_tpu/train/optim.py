@@ -49,9 +49,12 @@ def no_decay_mask(params: Params) -> Params:
 
 
 def adamw(b1: float = 0.9, b2: float = 0.95, eps: float = 1e-8,
-          weight_decay: float = 0.0) -> Optimizer:
+          weight_decay: float = 0.0, moment_dtype=None) -> Optimizer:
+    """``moment_dtype`` (e.g. jnp.bfloat16) stores both moments in a reduced
+    dtype — halves optimizer-state HBM for memory-bound big configs (the
+    moment update still computes in fp32)."""
     def init_fn(params: Params) -> AdamWState:
-        zeros = lambda p: jnp.zeros_like(p)  # noqa: E731
+        zeros = lambda p: jnp.zeros(p.shape, moment_dtype or p.dtype)  # noqa: E731
         return AdamWState(step=jnp.zeros((), jnp.int32),
                           mu=jax.tree.map(zeros, params),
                           nu=jax.tree.map(zeros, params))
@@ -64,13 +67,14 @@ def adamw(b1: float = 0.9, b2: float = 0.95, eps: float = 1e-8,
         decay_mask = no_decay_mask(params)
 
         def upd(p, g, m, v, decays):
-            g = g.astype(p.dtype)
+            g = g.astype(jnp.float32)
             if weight_decay and decays:
                 p = p * (1.0 - lr * weight_decay)
-            m = b1 * m + (1.0 - b1) * g
-            v = b2 * v + (1.0 - b2) * jnp.square(g)
-            p = p - lr * (m / c1) / (jnp.sqrt(v / c2) + eps)
-            return p, m, v
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
+            p = (p.astype(jnp.float32)
+                 - lr * (m32 / c1) / (jnp.sqrt(v32 / c2) + eps)).astype(p.dtype)
+            return p, m32.astype(m.dtype), v32.astype(v.dtype)
 
         flat_p, treedef = jax.tree.flatten(params)
         flat_g = treedef.flatten_up_to(grads)

@@ -174,3 +174,34 @@ def test_segmentation_cli_end_to_end(tmp_path):
     rec = json.loads((out / "seg_log.txt").read_text().strip().splitlines()[-1])
     assert {"train_loss", "mean_iou", "epoch"} <= set(rec)
     assert (out / "checkpoint" / "meta.json").exists()
+
+
+def test_voc_dataset_layout(tmp_path):
+    """VOC2012 directory layout loads (JPEGImages + SegmentationClass PNGs)."""
+    from PIL import Image
+
+    from tae_tpu.data.coco_seg import VocSegmentation, load_dataset
+
+    base = tmp_path / "VOCdevkit" / "VOC2012"
+    (base / "JPEGImages").mkdir(parents=True)
+    (base / "SegmentationClass").mkdir(parents=True)
+    (base / "ImageSets" / "Segmentation").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(3):
+        n = f"2007_{i:06d}"
+        names.append(n)
+        arr = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+        Image.fromarray(arr, "RGB").save(base / "JPEGImages" / f"{n}.jpg")
+        mask = rng.integers(0, 21, (40, 48)).astype(np.uint8)
+        Image.fromarray(mask, "L").save(base / "SegmentationClass" / f"{n}.png")
+    (base / "ImageSets" / "Segmentation" / "train.txt").write_text(
+        "\n".join(names[:2]))
+    (base / "ImageSets" / "Segmentation" / "val.txt").write_text(names[2])
+
+    ds, nc = load_dataset("voc", tmp_path, "train")
+    assert nc == 21 and len(ds) == 2
+    img, mask = ds[0]
+    assert img.size == (48, 40) and mask.shape == (40, 48)
+    val = VocSegmentation(tmp_path, "val")
+    assert len(val) == 1
