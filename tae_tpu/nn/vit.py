@@ -75,6 +75,10 @@ def linear_init(key: jax.Array, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in p:  # int8-quantized weights (tae_tpu.ops.int8)
+        from tae_tpu.ops.int8 import int8_linear
+
+        return int8_linear(x, p["w_q"], p["w_scale"], p.get("b"))
     y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
@@ -108,7 +112,7 @@ def patch_embed_init(key: jax.Array, patch_size: int, in_chans: int,
 def patch_embed_apply(p: Params, imgs: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     """(B, C, H, W) -> (B, N, E): patch extraction + one MXU matmul."""
     x = extract_patches(imgs, patch_size)
-    return x @ p["w"] + p["b"]
+    return linear_apply(p, x)
 
 
 # ---------------------------------------------------------------------------

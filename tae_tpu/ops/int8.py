@@ -1,0 +1,110 @@
+"""int8 quantized inference (w8a8, dynamic activation scales).
+
+Serving-path superset: the TPU MXU runs int8×int8→int32 at ~2× the bf16
+rate, and the tokenizer encode path (reference encode.py; BASELINE.json's
+≥10k img/s/chip north star) is MXU-bound. Scheme:
+
+  * weights: static symmetric per-output-channel int8
+    (``w_q = round(w / s_w)``, one fp32 scale per column);
+  * activations: dynamic symmetric per-row int8 computed on the fly;
+  * matmul in int8 -> int32 accumulate, rescaled by ``s_x · s_w``.
+
+Quantized layers are drop-in: :func:`quantize_params` rewrites ``{"w": ...}``
+linear leaves to ``{"w_q", "w_scale"(, "b")}``, and
+``tae_tpu.nn.vit.linear_apply`` dispatches on the key. Everything else
+(LayerNorm, pos-embeds, softmax) stays in bf16/fp32. Off by default; enable
+via ``Tokenizer.from_checkpoint(..., quantization="int8")``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+
+def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(in, out) fp weight -> (int8 weight, (out,) fp32 per-channel scales)."""
+    w32 = w.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(w32), axis=0) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    wq = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def int8_linear_xla(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
+                    bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Reference/fallback path (unfused; no faster than bf16 — the
+    quantize/rescale passes cost what the int8 dot saves)."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    sx = jnp.max(jnp.abs(x32), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-12)
+    xq = jnp.clip(jnp.round(x32 / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(xq, w_q, (((xq.ndim - 1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * sx * w_scale
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+def _block(dim: int, cap: int) -> int:
+    b = cap
+    while dim % b:
+        b //= 2
+    return max(b, 1)
+
+
+def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
+                bias: jnp.ndarray | None = None,
+                backend: str | None = None) -> jnp.ndarray:
+    """x (..., in) @ int8 weight. Dispatches to the fused Pallas matmul on
+    TPU (activation quantization in VMEM, int8 weight streaming, fused
+    dequant epilogue); XLA fallback elsewhere."""
+    from tae_tpu.ops.attention import default_backend
+
+    if (backend or default_backend()) != "pallas":
+        return int8_linear_xla(x, w_q, w_scale, bias)
+
+    from tae_tpu.ops.pallas.int8_matmul import int8_matmul_fused
+
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = w_q.shape[-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    bm = 256 if m >= 256 else 8
+    pad = (-m) % bm
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    # full-K blocks (VMEM-capped) avoid accumulator revisits and repeated
+    # activation quantization — measured 258 T/s vs 190 T/s XLA bf16 on v5e
+    # at (2048,2560)x(2560,10240); small block_k configurations only tie bf16
+    y = int8_matmul_fused(x2, w_q, w_scale, bias,
+                          block_m=min(bm, x2.shape[0]),
+                          block_n=_block(n, 512), block_k=_block(k, 4096),
+                          out_dtype=x.dtype)
+    if pad:
+        y = y[:m]
+    return y.reshape(*lead, n)
+
+
+def quantize_params(params: Params) -> Params:
+    """Rewrite every linear ``{"w": (in, out), ["b"]}`` leaf-dict to its int8
+    form. Non-matrix params (norms, embeddings, codebook) pass through."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 2:
+                wq, scale = quantize_weight(node["w"])
+                out: Params = {"w_q": wq, "w_scale": scale}
+                if "b" in node:
+                    out["b"] = node["b"]
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)

@@ -158,3 +158,37 @@ def test_fused_qkv_attention_grad():
     g2 = jax.grad(loss_ref)(qkv)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize("m,k,v_out", [(256, 512, 512), (8, 1024, 16), (300, 512, 1024)])
+def test_int8_matmul_fused_matches_xla_path(m, k, v_out):
+    from tae_tpu.ops.int8 import int8_linear_xla, quantize_weight
+    from tae_tpu.ops.pallas.int8_matmul import int8_matmul_fused
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, v_out)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(v_out).astype(np.float32))
+    wq, sw = quantize_weight(w)
+    ref = int8_linear_xla(x, wq, sw, b)
+
+    pad = (-m) % (256 if m >= 256 else 8)
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    got = int8_matmul_fused(xp, wq, sw, b, block_m=min(256, xp.shape[0]),
+                            block_n=min(512, v_out), block_k=min(512, k),
+                            interpret=True)[:m]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_int8_linear_wrapper_arbitrary_leading_dims():
+    from tae_tpu.ops.int8 import int8_linear, quantize_weight
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 5, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 48)).astype(np.float32))
+    wq, sw = quantize_weight(w)
+    y = int8_linear(x, wq, sw)  # xla fallback on CPU tests
+    assert y.shape == (2, 5, 48)
+    rel = float(jnp.mean(jnp.abs(y - x @ w)) / jnp.mean(jnp.abs(x @ w)))
+    assert rel < 0.03

@@ -2,6 +2,8 @@
 
 import json
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -102,3 +104,39 @@ def test_latent_dataset_roundtrip(tmp_path):
     log = out / "lat_vit_recognition_numpatches16_vocab256_base_log.txt"
     rec = json.loads(log.read_text().strip().splitlines()[-1])
     assert np.isfinite(rec["train_loss"])
+
+
+def test_int8_quantized_encode_close_to_fp():
+    from tae_tpu.ops.int8 import int8_linear, quantize_params, quantize_weight
+
+    # op level: int8 linear approximates fp within quantization error
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    x = rng.standard_normal((8, 64)).astype(np.float32)
+    wq, s = quantize_weight(jnp.asarray(w))
+    assert wq.dtype == jnp.int8 and s.shape == (32,)
+    y = np.asarray(int8_linear(jnp.asarray(x), wq, s))
+    ref = x @ w
+    rel = np.abs(y - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02
+
+    # model level: quantized tokenizer tracks the fp tokenizer
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                    dtype=jnp.float32, **TINY)
+    tok8 = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                     dtype=jnp.float32, quantization="int8",
+                                     **TINY)
+    # quantized tree has int8 weights everywhere
+    leaves = jax.tree.leaves(tok8.params)
+    assert any(l.dtype == jnp.int8 for l in leaves)
+    imgs = np.random.default_rng(1).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    z = np.asarray(tok.encode(imgs), np.float32)
+    z8 = np.asarray(tok8.encode(imgs), np.float32)
+    rel = np.abs(z8 - z).mean() / (np.abs(z).mean() + 1e-9)
+    assert rel < 0.15  # a few % typical; generous bound for 2-layer random net
+
+
+def test_int8_unknown_mode_rejected():
+    with pytest.raises(ValueError, match="quantization"):
+        Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                  quantization="int4", **TINY)
