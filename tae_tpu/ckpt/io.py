@@ -140,3 +140,37 @@ def asdict_args(args) -> dict:
     else:
         d = dict(args)
     return {k: v for k, v in d.items() if isinstance(v, (str, int, float, bool, list, tuple, type(None)))}
+
+
+def load_train_state(path: str | Path, model, model_params: Any,
+                     opt_template: Any = None) -> tuple[Any, Any, dict]:
+    """Restore (params, opt_state_or_None, meta) from a checkpoint.
+
+    tae_tpu checkpoint dirs saved as ``{"params", "opt"}`` restore the
+    optimizer state too (the reference's ``optim_resume=True`` path,
+    util/misc.py:319-323, used by the in19k trainer); torch ``.pth`` files
+    and params-only trees restore parameters only. A structure mismatch
+    (e.g. after a head swap) silently skips the optimizer restore, matching
+    the reference's strict=False spirit.
+    """
+    params = load_params(path, model, model_params)
+    path = Path(path)
+    if _is_torch_checkpoint(path):
+        return params, None, {}
+    loaded, meta = load_checkpoint(path)
+    opt_state = None
+    if opt_template is not None and isinstance(loaded, dict) and "opt" in loaded:
+        from tae_tpu.train.optim import AdamWState
+
+        o = loaded["opt"]
+        tmpl = opt_template._asdict() if hasattr(opt_template, "_asdict") else opt_template
+        try:
+            restored = jax.tree.map(
+                lambda t, n: jax.device_put(
+                    np.asarray(n).astype(np.asarray(t).dtype),
+                    t.sharding) if hasattr(t, "sharding") else np.asarray(n),
+                tmpl, {"step": o["step"], "mu": o["mu"], "nu": o["nu"]})
+            opt_state = AdamWState(**restored)
+        except (ValueError, KeyError, TypeError) as e:
+            print(f"checkpoint optimizer state skipped ({e})")
+    return params, opt_state, meta

@@ -21,6 +21,7 @@ import numpy as np
 from tae_tpu.ckpt.io import load_params
 from tae_tpu.cli import _common
 from tae_tpu.parallel import shard_params
+from tae_tpu.data.transforms import IMAGENET_STD
 from tae_tpu.utils.dtypes import Policy
 from tae_tpu.utils.image_grid import save_image
 
@@ -60,27 +61,40 @@ def main(args) -> float:
         z = model.forward_encoder(p, imgs, policy=policy, backend=args.attn_backend)
         pred = model.forward_decoder(p, z, policy=policy, backend=args.attn_backend)
         target = model.patchify(imgs).astype(jnp.float32)
-        per = jnp.mean(jnp.square(pred.astype(jnp.float32) - target), axis=(1, 2))
-        return per, pred
+        pred32 = pred.astype(jnp.float32)
+        sq = jnp.square(pred32 - target)
+        per = jnp.mean(sq, axis=(1, 2))
+        # PSNR in [0,1] pixel space: undo the ImageNet normalization by
+        # weighting each channel's squared error with std_c^2. The patchify
+        # layout is (p, q, c) — channel varies fastest — so the per-channel
+        # weights tile p^2 times along the last axis.
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        weights = jnp.tile(std * std, model.cfg.patch_size ** 2)
+        mse_px = jnp.mean(sq * weights, axis=(1, 2))
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse_px, 1e-12))
+        return per, psnr, pred
 
     loader = _common.imagefolder_val_loader(args.val_data_path, args.input_size,
                                             args.batch_size_per_gpu,
                                             num_workers=0)
     print("Starting TAE evaluation!")
     losses = []
+    psnrs = []
     samples_for_display = None
     for it, (imgs, _) in enumerate(loader):
         if it == 0:
             samples_for_display = np.asarray(imgs[:8])
         padded, n = _common.pad_batch(imgs, args.batch_size_per_gpu)
-        per, _ = per_sample_loss_and_pred(params, jnp.asarray(padded))
+        per, psnr, _ = per_sample_loss_and_pred(params, jnp.asarray(padded))
         losses.append(float(np.asarray(per)[:n].mean()))
+        psnrs.append(float(np.asarray(psnr)[:n].mean()))
     eval_loss = float(np.mean(losses))
     print(f"Eval loss: {eval_loss}")
+    print(f"Eval PSNR: {float(np.mean(psnrs)):.2f} dB")
 
     if args.display and samples_for_display is not None:
         padded, n = _common.pad_batch(samples_for_display, args.batch_size_per_gpu)
-        _, pred = per_sample_loss_and_pred(params, jnp.asarray(padded))
+        _, _, pred = per_sample_loss_and_pred(params, jnp.asarray(padded))
         recon = np.asarray(model.unpatchify(pred[:8]), dtype=np.float32)
         combined = np.concatenate([samples_for_display, recon], axis=0)
         out = Path(args.output_dir) / f"{args.save_prefix}_sample_reconstructions.jpg"

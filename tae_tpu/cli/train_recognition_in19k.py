@@ -99,12 +99,16 @@ def main(args) -> None:
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, enc_params)
 
-    if args.model_ckpt:
-        params = load_params(args.model_ckpt, model, params)
-        print(f"Resumed classifier {args.model_ckpt}")
-
     opt = adamw(weight_decay=args.weight_decay)
     state = TrainState.create(params, opt)
+    if args.model_ckpt:
+        from tae_tpu.ckpt.io import load_train_state
+
+        params, opt_state, _ = load_train_state(args.model_ckpt, model, params,
+                                                state.opt)
+        state = TrainState(params=params, opt=opt_state or state.opt)
+        print(f"Resumed classifier {args.model_ckpt}"
+              + (" with optimizer state" if opt_state is not None else ""))
 
     enc_policy = Policy(param_dtype=jnp.bfloat16)
 

@@ -88,3 +88,43 @@ def test_load_params_interpolates_on_grid_mismatch(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(loaded["encoder"]["dict_proj"]["w"]),
         np.asarray(sp["encoder"]["dict_proj"]["w"]))
+
+
+def test_load_train_state_restores_optimizer(tmp_path):
+    from tae_tpu.ckpt.io import load_train_state
+
+    model = TAE(TAEConfig(**TINY))
+    params = model.init(jax.random.key(0))
+    opt = adamw()
+    state = TrainState.create(params, opt)
+    # advance optimizer one step so the state is non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    new_params, opt_state = opt.update(params, state.opt, grads, jnp.float32(1e-3))
+    save_checkpoint(tmp_path / "ck", {"params": new_params,
+                                      "opt": opt_state._asdict()}, step=1)
+
+    fresh = model.init(jax.random.key(1))
+    template = TrainState.create(fresh, opt)
+    p2, o2, meta = load_train_state(tmp_path / "ck", model, fresh, template.opt)
+    assert o2 is not None and int(o2.step) == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(o2.mu)[0]),
+        np.asarray(jax.tree.leaves(opt_state.mu)[0]))
+    assert meta["step"] == 1
+
+    # torch checkpoints restore params only
+    torch = pytest.importorskip("torch")
+    import functools
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    import tae as ref_tae
+
+    ref = ref_tae.TAE(img_size=32, patch_size=16, embed_dim=64, vocab_size=16,
+                      depth=2, num_heads=4, decoder_embed_dim=64,
+                      decoder_depth=2, decoder_num_heads=4, mlp_ratio=4,
+                      norm_layer=functools.partial(torch.nn.LayerNorm, eps=1e-6))
+    pth = tmp_path / "r.pth"
+    torch.save({"model": ref.state_dict()}, pth)
+    _, o3, _ = load_train_state(pth, model, fresh, template.opt)
+    assert o3 is None
