@@ -23,6 +23,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tae_tpu.ckpt.interpolate import maybe_interpolate_tree
@@ -164,12 +165,18 @@ def load_train_state(path: str | Path, model, model_params: Any,
 
         o = loaded["opt"]
         tmpl = opt_template._asdict() if hasattr(opt_template, "_asdict") else opt_template
+        def put(t, n):
+            n = np.asarray(n).astype(np.asarray(t).dtype)
+            # only commit onto explicit mesh shardings; plain arrays stay
+            # uncommitted so jit can co-locate them freely
+            if hasattr(t, "sharding") and isinstance(
+                    t.sharding, jax.sharding.NamedSharding):
+                return jax.device_put(n, t.sharding)
+            return jnp.asarray(n)
+
         try:
             restored = jax.tree.map(
-                lambda t, n: jax.device_put(
-                    np.asarray(n).astype(np.asarray(t).dtype),
-                    t.sharding) if hasattr(t, "sharding") else np.asarray(n),
-                tmpl, {"step": o["step"], "mu": o["mu"], "nu": o["nu"]})
+                put, tmpl, {"step": o["step"], "mu": o["mu"], "nu": o["nu"]})
             opt_state = AdamWState(**restored)
         except (ValueError, KeyError, TypeError) as e:
             print(f"checkpoint optimizer state skipped ({e})")

@@ -47,8 +47,13 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_prefix", default="", type=str)
     p.add_argument("--save_freq", default=10000, type=int)
     p.add_argument("--model", default="", type=str)
-    p.add_argument("--ckpt", default="", help="resume from a checkpoint "
-                   "(tae_tpu dir or reference .pth)")
+    p.add_argument("--ckpt", default="", help="load model weights from a "
+                   "checkpoint (tae_tpu dir or reference .pth); training "
+                   "restarts at iteration 0 (reference semantics)")
+    p.add_argument("--resume_auto", action="store_true",
+                   help="preemption-safe resume: restore params + optimizer "
+                        "+ iteration from this run's own checkpoint if it "
+                        "exists and continue where it left off")
     p.add_argument("--input_size", default=256, type=int)
     p.add_argument("--display", action="store_true")
     p.add_argument("--weight_decay", type=float, default=0.05)
@@ -88,6 +93,20 @@ def main(args) -> None:
         print(f"Resumed checkpoint {args.ckpt}")
     state = TrainState.create(params, opt)
 
+    start_it = 0
+    best_eval_loss = 100.0
+    ckpt_dir = Path(args.output_dir) / f"{args.save_prefix}_checkpoint"
+    if args.resume_auto and (ckpt_dir / "meta.json").exists():
+        from tae_tpu.ckpt.io import load_train_state
+
+        params, opt_state, meta = load_train_state(ckpt_dir, model, params,
+                                                   state.opt)
+        state = TrainState(params=params, opt=opt_state or state.opt)
+        start_it = int(meta.get("step", 0)) + 1
+        best_eval_loss = float(meta.get("best_eval_loss", best_eval_loss))
+        print(f"Auto-resumed {ckpt_dir} at iteration {start_it} "
+              f"(best eval loss {best_eval_loss})")
+
     def loss_fn(p, imgs):
         loss, _ = model.forward(p, imgs, policy=policy,
                                 backend=args.attn_backend, remat=args.remat)
@@ -116,14 +135,14 @@ def main(args) -> None:
             yield imgs
 
     metric_logger = MetricLogger()
-    best_eval_loss = 100.0
     pending = None  # (it, metrics) — fetched one step late to avoid syncs
     display_samples = None
 
     print("Starting TAE training!")
     for it, imgs in enumerate(device_prefetch(train_batches(),
-                                              sharding=data_shard)):
-        if it == args.num_its:
+                                              sharding=data_shard),
+                              start=start_it):
+        if it >= args.num_its:
             break
         if args.display and it % args.save_freq == 0:
             display_samples = np.asarray(imgs[:8])

@@ -112,3 +112,63 @@ def test_encode_cli_streams_sharded_output(data, tmp_path):
     assert z["latents"].shape == (32, 16, 16)  # (B, N=16 tokens, vocab=16)
     assert z["latents"].dtype == np.float16
     assert z["targets"].shape == (32,)
+
+
+def test_train_cli_resume_auto(data, tmp_path):
+    """Preemption-safe resume: second invocation continues from the saved
+    iteration with restored optimizer state."""
+    import io as io_mod
+    from contextlib import redirect_stdout
+
+    from tae_tpu.cli import train as cli_train
+
+    out = tmp_path / "out"
+    out.mkdir()
+    base = [
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size_per_gpu", "8",
+        "--save_freq", "4", "--num_workers", "0",
+        "--train_data_path", str(data / "train-000000.tar"),
+        "--val_data_path", str(data / "val"),
+        "--output_dir", str(out), "--save_prefix", "ra", "--resume_auto",
+    ]
+    cli_train.main(cli_train.get_args_parser().parse_args(base + ["--num_its", "5"]))
+    assert (out / "ra_checkpoint" / "meta.json").exists()
+
+    buf = io_mod.StringIO()
+    with redirect_stdout(buf):
+        cli_train.main(cli_train.get_args_parser().parse_args(
+            base + ["--num_its", "10"]))
+    assert "Auto-resumed" in buf.getvalue()
+    assert "at iteration 5" in buf.getvalue()
+    # the resumed run evaluated at it=8 and logged it
+    log = (out / "ra_log.txt").read_text().strip().splitlines()
+    assert any('"iteration": 8' in l for l in log)
+
+
+def test_cross_mesh_checkpoint_restore(tmp_path):
+    """Params saved from a (4,2,1)-sharded state restore onto a (1,2,4)
+    mesh with correct values — elasticity across pod reshapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from tae_tpu.ckpt.io import load_params, save_checkpoint
+    from tae_tpu.models.tae import TAE, TAEConfig
+    from tae_tpu.parallel import make_mesh, shard_params
+
+    model = TAE(TAEConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                          num_heads=4, decoder_embed_dim=64, decoder_depth=2,
+                          decoder_num_heads=4, vocab_size=16))
+    mesh_a = make_mesh(data=4, fsdp=2, tensor=1)
+    params_a = shard_params(model.init(jax.random.key(0)), mesh_a)
+    save_checkpoint(tmp_path / "ck", {"params": params_a}, step=0)
+
+    mesh_b = make_mesh(data=1, fsdp=2, tensor=4)
+    fresh = shard_params(model.init(jax.random.key(1)), mesh_b)
+    restored = load_params(tmp_path / "ck", model, fresh)
+    leaf_a = jax.tree.leaves(params_a)[0]
+    leaf_b = jax.tree.leaves(restored)[0]
+    np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b))
+    # restored leaves carry mesh_b shardings
+    qkv = restored["encoder"]["blocks"]["attn"]["qkv"]["w"]
+    assert qkv.sharding.mesh.shape["tensor"] == 4
