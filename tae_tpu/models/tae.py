@@ -116,7 +116,7 @@ class TAE:
     # --------------------------------------------------------------- forward
     def forward_encoder(self, params: Params, imgs: jnp.ndarray, *,
                         policy: Policy = DEFAULT, backend: str | None = None,
-                        remat: bool = False) -> jnp.ndarray:
+                        remat: bool = False, unroll: bool = False) -> jnp.ndarray:
         """(B, C, H, W) -> latents (B, N, vocab_size). Reference tae.py:224-238."""
         c = self.cfg
         if imgs.shape[-2:] != (c.img_size, c.img_size):
@@ -127,14 +127,15 @@ class TAE:
         x = imgs.astype(policy.compute_dtype)
         x = vit.patch_embed_apply(enc["patch_embed"], x, c.patch_size)
         x = x + enc["pos_embed"]
-        x = vit.blocks_apply(enc["blocks"], x, c.enc_block, backend=backend, remat=remat)
+        x = vit.blocks_apply(enc["blocks"], x, c.enc_block, backend=backend,
+                             remat=remat, unroll=unroll)
         x = vit.layer_norm_apply(enc["norm"], x, c.ln_eps)
         x = vit.linear_apply(enc["dict_proj"], x)
         return policy.cast_to_output(x)
 
     def forward_decoder(self, params: Params, z: jnp.ndarray, *,
                         policy: Policy = DEFAULT, backend: str | None = None,
-                        remat: bool = False) -> jnp.ndarray:
+                        remat: bool = False, unroll: bool = False) -> jnp.ndarray:
         """latents (B, N, vocab) -> per-patch pixel preds (B, N, p²·C).
         Reference tae.py:240-254."""
         c = self.cfg
@@ -142,7 +143,8 @@ class TAE:
         x = z.astype(policy.compute_dtype)
         x = vit.linear_apply(dec["embed"], x)
         x = x + dec["pos_embed"]
-        x = vit.blocks_apply(dec["blocks"], x, c.dec_block, backend=backend, remat=remat)
+        x = vit.blocks_apply(dec["blocks"], x, c.dec_block, backend=backend,
+                             remat=remat, unroll=unroll)
         x = vit.layer_norm_apply(dec["norm"], x, c.ln_eps)
         x = vit.linear_apply(dec["pred"], x)
         return policy.cast_to_output(x)

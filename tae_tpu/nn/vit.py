@@ -216,15 +216,22 @@ def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,
 
 
 def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
-                 backend: str | None = None, remat: bool = False) -> jnp.ndarray:
+                 backend: str | None = None, remat: bool = False,
+                 unroll: bool = False) -> jnp.ndarray:
     """Apply a depth-stacked block stack with ``lax.scan``.
 
     ``remat=True`` wraps each layer in ``jax.checkpoint`` so the backward pass
     rematerializes activations instead of storing depth × (B, N, 4d) — the
     TPU-idiomatic HBM/FLOPs trade for the 2.5B+ configs.
+
+    ``unroll=True`` fully unrolls the layer loop (static weight slices, depth×
+    compile time). Measured neutral-to-slightly-negative on v5e encode — the
+    per-layer weight relayout copies persist either way — so it stays off by
+    default; exposed for experimentation on other topologies.
     """
     fn = lambda carry, layer: (block_apply(layer, carry, cfg, backend=backend), None)
     if remat:
         fn = jax.checkpoint(fn, prevent_cse=False)
-    y, _ = jax.lax.scan(fn, x, stacked)
+    depth = jax.tree.leaves(stacked)[0].shape[0]
+    y, _ = jax.lax.scan(fn, x, stacked, unroll=depth if unroll else 1)
     return y

@@ -17,7 +17,25 @@ import jax.numpy as jnp
 
 
 def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
-               eps: float = 1e-6) -> jnp.ndarray:
+               eps: float = 1e-6, backend: str | None = None) -> jnp.ndarray:
+    from tae_tpu.ops.attention import default_backend
+
+    resolved = backend or default_backend()
+    if backend is None and resolved == "pallas" and not (
+            x.ndim >= 3 and x.shape[-2] >= 128):
+        # same shape heuristic as attention (measured on v5e): the fused
+        # kernel wins at N>=128 (+4% p16 encode) but breaks XLA's
+        # LN-into-matmul fusions at tiny N (-10% p64/p128)
+        resolved = "xla"
+    if resolved == "pallas" and x.shape[-1] >= 128:
+        from tae_tpu.ops.pallas.layernorm import fused_layer_norm
+
+        return fused_layer_norm(x, weight, bias, eps)
+    return layer_norm_xla(x, weight, bias, eps)
+
+
+def layer_norm_xla(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+                   eps: float = 1e-6) -> jnp.ndarray:
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)

@@ -192,3 +192,39 @@ def test_int8_linear_wrapper_arbitrary_leading_dims():
     assert y.shape == (2, 5, 48)
     rel = float(jnp.mean(jnp.abs(y - x @ w)) / jnp.mean(jnp.abs(x @ w)))
     assert rel < 0.03
+
+
+@pytest.mark.parametrize("shape", [(4, 7, 256), (100, 1024), (2, 3, 5, 128)])
+def test_fused_layer_norm_matches_xla(shape):
+    from tae_tpu.ops.layernorm import layer_norm_xla
+    from tae_tpu.ops.pallas.layernorm import fused_layer_norm
+
+    d = shape[-1]
+    k1, k2, k3 = jax.random.split(jax.random.key(9), 3)
+    x = jax.random.normal(k1, shape, jnp.float32) * 3 + 1
+    w = jax.random.normal(k2, (d,), jnp.float32)
+    b = jax.random.normal(k3, (d,), jnp.float32)
+    ref = layer_norm_xla(x, w, b, 1e-6)
+    got = fused_layer_norm(x, w, b, 1e-6, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_layer_norm_grad_matches_xla():
+    from tae_tpu.ops.layernorm import layer_norm_xla
+    from tae_tpu.ops.pallas.layernorm import fused_layer_norm
+
+    d = 256
+    k1, k2, k3, k4 = jax.random.split(jax.random.key(10), 4)
+    x = jax.random.normal(k1, (37, d), jnp.float32)  # odd rows -> padding path
+    w = jax.random.normal(k2, (d,), jnp.float32)
+    b = jax.random.normal(k3, (d,), jnp.float32)
+    ct = jax.random.normal(k4, (37, d), jnp.float32)
+
+    g_ref = jax.grad(lambda x, w, b: jnp.sum(layer_norm_xla(x, w, b, 1e-6) * ct),
+                     argnums=(0, 1, 2))(x, w, b)
+    g_pal = jax.grad(lambda x, w, b: jnp.sum(fused_layer_norm(x, w, b, 1e-6, True) * ct),
+                     argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   atol=3e-5, rtol=3e-5)
