@@ -185,6 +185,13 @@ def main(args) -> None:
             metric_logger = MetricLogger()
 
 
+def cli_main() -> None:
+    parser = get_args_parser()
+    args = parser.parse_args()
+    Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    main(args)
+
+
 if __name__ == "__main__":
     args = get_args_parser().parse_args()
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)
