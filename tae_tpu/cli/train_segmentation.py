@@ -128,6 +128,15 @@ def main(args) -> None:
 
     opt = adamw(weight_decay=args.weight_decay)
     state = TrainState.create(params, opt)
+    start_epoch = args.start_epoch
+    if args.resume:
+        from tae_tpu.ckpt.io import load_train_state
+
+        rp, opt_state, meta = load_train_state(args.resume, model, state.params,
+                                                state.opt)
+        state = TrainState(params=rp, opt=opt_state or state.opt)
+        start_epoch = int(meta.get("step", start_epoch - 1)) + 1
+        print(f"Resumed {args.resume} at epoch {start_epoch}")
 
     def encode(imgs):
         return jax.lax.stop_gradient(encoder.forward_encoder(
@@ -151,7 +160,7 @@ def main(args) -> None:
     data_shard = batch_sharding(mesh)
     mask_shard = batch_sharding(mesh, ndim=3)
 
-    for epoch in range(args.start_epoch, args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         make_iter = functools.partial(
             _train_iter, (args.dataset, args.data_path, args.input_size,
                           args.seed + epoch))
