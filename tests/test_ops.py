@@ -228,3 +228,18 @@ def test_fused_layer_norm_grad_matches_xla():
     for a, r in zip(g_pal, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    atol=3e-5, rtol=3e-5)
+
+
+def test_bf16_gelu_approx_within_bf16_rounding():
+    """The tanh-approx GELU used under the bf16 policy must agree with the
+    exact-erf GELU to within bf16 quantization of the exact result."""
+    x = jnp.linspace(-6, 6, 4097, dtype=jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+    approx_bf16 = jax.nn.gelu(x.astype(jnp.bfloat16), approximate=True)
+    exact_bf16 = exact.astype(jnp.bfloat16).astype(jnp.float32)
+    diff = np.abs(np.asarray(approx_bf16, np.float32) - exact_bf16)
+    # 2 bf16 ulps (7 mantissa bits; one from the bf16 input rounding
+    # propagated through gelu' <= 1.13, one from output rounding) plus the
+    # approximation's 3e-3 analytic bound
+    step = np.maximum(np.abs(exact_bf16) * 2 ** -6, 2 ** -9)
+    assert (diff <= step + 3.2e-3).all()
