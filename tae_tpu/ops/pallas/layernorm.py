@@ -36,7 +36,8 @@ def _fwd_kernel(x_ref, w_ref, b_ref, o_ref, mean_ref, rstd_ref, *,
 
 
 def _bwd_kernel(x_ref, w_ref, mean_ref, rstd_ref, do_ref,
-                dx_ref, dw_ref, db_ref, *, first_block: bool = False):
+                dx_ref, dw_ref, db_ref):
+    i = pl.program_id(0)
     x = x_ref[:].astype(jnp.float32)
     w = w_ref[:].astype(jnp.float32)
     do = do_ref[:].astype(jnp.float32)
@@ -45,14 +46,20 @@ def _bwd_kernel(x_ref, w_ref, mean_ref, rstd_ref, do_ref,
     xhat = (x - mean) * rstd
     # standard LN backward
     dy = do * w
-    d = xhat.shape[-1]
     m1 = jnp.mean(dy, axis=-1, keepdims=True)
     m2 = jnp.mean(dy * xhat, axis=-1, keepdims=True)
     dx = (dy - m1 - xhat * m2) * rstd
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    # per-block partial reductions for dw/db (summed outside over blocks)
-    dw_ref[:] = jnp.sum(do * xhat, axis=0, keepdims=True)
-    db_ref[:] = jnp.sum(do, axis=0, keepdims=True)
+    # dw/db accumulate across the (sequential) grid into one (8, D) block —
+    # per-block (1, D) outputs would violate Mosaic's sublane tiling
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    dw_ref[0:1, :] += jnp.sum(do * xhat, axis=0, keepdims=True)
+    db_ref[0:1, :] += jnp.sum(do, axis=0, keepdims=True)
 
 
 def _pick_block(m: int, d: int, budget_bytes: int = 6 * 1024 * 1024) -> int:
@@ -127,21 +134,21 @@ def _fln_bwd(eps, interpret, res, dy):
     row_spec = pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
     stat_spec = pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    part_spec = pl.BlockSpec((1, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    dx, dw_part, db_part = pl.pallas_call(
+    acc_spec = pl.BlockSpec((8, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dx, dw_acc, db_acc = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
         in_specs=[row_spec, vec_spec, stat_spec, stat_spec, row_spec],
-        out_specs=[row_spec, part_spec, part_spec],
+        out_specs=[row_spec, acc_spec, acc_spec],
         out_shape=[jax.ShapeDtypeStruct((mp, d), x.dtype),
-                   jax.ShapeDtypeStruct((mp // bm, d), jnp.float32),
-                   jax.ShapeDtypeStruct((mp // bm, d), jnp.float32)],
+                   jax.ShapeDtypeStruct((8, d), jnp.float32),
+                   jax.ShapeDtypeStruct((8, d), jnp.float32)],
         interpret=interpret,
     )(x2, weight.reshape(1, d), mean, rstd, dy2)
     if pad:
         dx = dx[:m]
-    dw = jnp.sum(dw_part, axis=0).astype(weight.dtype)
-    db = jnp.sum(db_part, axis=0).astype(weight.dtype)
+    dw = dw_acc[0].astype(weight.dtype)
+    db = db_acc[0].astype(weight.dtype)
     return dx.reshape(*lead, d), dw, db
 
 
