@@ -70,7 +70,13 @@ def load_checkpoint(path: str | Path, target: Any = None) -> tuple[Any, dict]:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         tree = ckptr.restore(path / _TREE, abstract)
     else:
-        tree = ckptr.restore(path / _TREE)
+        # no target: restore to host memory — callers re-place leaves with
+        # their own shardings, and restoring straight onto an accelerator
+        # would move every byte twice (painfully slow over a tunneled chip)
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            tree = ckptr.restore(path / _TREE)
+        tree = jax.tree.map(np.asarray, tree)
     meta = {}
     meta_path = path / _META
     if meta_path.exists():
