@@ -28,7 +28,7 @@ import numpy as np
 
 from tae_tpu.ckpt.io import load_params
 from tae_tpu.cli import _common
-from tae_tpu.data.loader import BatchLoader, device_prefetch
+from tae_tpu.data.loader import BatchLoader
 from tae_tpu.data.tar_stream import ShardSpec, WebDatasetReader, decode_jpg_cls
 from tae_tpu.data.transforms import center_crop_transform, random_resized_crop_transform
 from tae_tpu.parallel import batch_sharding, shard_params

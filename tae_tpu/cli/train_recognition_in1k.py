@@ -26,7 +26,7 @@ from tae_tpu.cli import _common
 from tae_tpu.data.loader import BatchLoader, device_prefetch
 from tae_tpu.data.mixup import mixup_cutmix_collate
 from tae_tpu.data.randaugment import rand_augment
-from tae_tpu.data.transforms import center_crop_transform, random_resized_crop_transform
+from tae_tpu.data.transforms import random_resized_crop_transform
 from tae_tpu.parallel import batch_sharding, is_main_process, shard_params
 from tae_tpu.train import TrainState, adamw, epoch_step_lr, make_train_step
 from tae_tpu.train.losses import cross_entropy, topk_accuracy
