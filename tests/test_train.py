@@ -193,3 +193,26 @@ def test_meters_and_jsonl(tmp_path):
     append_jsonl(tmp_path / "log.txt", {"a": 2})
     lines = (tmp_path / "log.txt").read_text().strip().splitlines()
     assert [json.loads(l)["a"] for l in lines] == [1, 2]
+
+
+def test_log_every_and_profiling(tmp_path, capsys):
+    from tae_tpu.utils.meters import MetricLogger
+    from tae_tpu.utils import profiling
+
+    logger = MetricLogger()
+    seen = []
+    for x in logger.log_every(range(7), print_freq=3, header="T:"):
+        logger.update(loss=float(x))
+        seen.append(x)
+    assert seen == list(range(7))
+    out = capsys.readouterr().out
+    assert "T: [0/7]" in out and "Total time" in out and "loss" in out
+
+    # profiler trace context produces a capture dir; memory_stats is well-formed
+    with profiling.trace(tmp_path / "trace"):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert any((tmp_path / "trace").rglob("*")), "no trace output written"
+    stats = profiling.memory_stats()
+    assert isinstance(stats, dict)
+    key = profiling.fix_random_seeds(3)
+    assert key is not None
