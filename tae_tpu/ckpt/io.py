@@ -43,17 +43,31 @@ def save_checkpoint(path: str | Path, tree: Any, *, step: int = 0,
     """Save a pytree (params or full TrainState) + metadata. Writes from
     every process (orbax coordinates); metadata from process 0 only
     (reference save_on_master semantics, util/misc.py:207-209)."""
+    import shutil
+
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
     ckptr = _checkpointer()
     tree_path = path / _TREE
-    if tree_path.exists():
-        import shutil
-
-        shutil.rmtree(tree_path)
-    ckptr.save(tree_path, tree)
+    tmp_path = path / (_TREE + ".tmp")
+    old_path = path / (_TREE + ".old")
+    # Atomic save: write the new tree beside the old one, then swap via
+    # renames, so a preemption at ANY point leaves a restorable checkpoint
+    # (either `tree` or `tree.old`) — a crash mid-save must not destroy the
+    # only checkpoint --resume_auto depends on (reference policy
+    # train.py:160-172).
+    if tmp_path.exists():
+        shutil.rmtree(tmp_path)  # partial leftover from an earlier crash
+    ckptr.save(tmp_path, tree)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
+        if old_path.exists():
+            shutil.rmtree(old_path)
+        if tree_path.exists():
+            tree_path.rename(old_path)
+        tmp_path.rename(tree_path)
+        if old_path.exists():
+            shutil.rmtree(old_path)
         meta = {"step": int(step), "args": args or {}, **(extra or {})}
         (path / _META).write_text(json.dumps(meta, indent=2, default=str))
 
@@ -64,18 +78,24 @@ def load_checkpoint(path: str | Path, target: Any = None) -> tuple[Any, dict]:
     placement/dtypes; without it the stored structure is returned as saved."""
     path = Path(path).absolute()
     ckptr = _checkpointer()
+    tree_dir = path / _TREE
+    if not tree_dir.exists() and (path / (_TREE + ".old")).exists():
+        # crashed between the two swap renames in save_checkpoint: the
+        # previous tree was already moved aside but the new one not yet in
+        # place — the `.old` tree is the last known-good checkpoint
+        tree_dir = path / (_TREE + ".old")
     if target is not None:
         import orbax.checkpoint as ocp
 
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        tree = ckptr.restore(path / _TREE, abstract)
+        tree = ckptr.restore(tree_dir, abstract)
     else:
         # no target: restore to host memory — callers re-place leaves with
         # their own shardings, and restoring straight onto an accelerator
         # would move every byte twice (painfully slow over a tunneled chip)
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
-            tree = ckptr.restore(path / _TREE)
+            tree = ckptr.restore(tree_dir)
         tree = jax.tree.map(np.asarray, tree)
     meta = {}
     meta_path = path / _META

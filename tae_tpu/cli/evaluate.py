@@ -76,16 +76,32 @@ def main(args) -> float:
 
     loader = _common.imagefolder_val_loader(args.val_data_path, args.input_size,
                                             args.batch_size_per_gpu,
-                                            num_workers=0)
+                                            num_workers=args.num_workers)
     print("Starting TAE evaluation!")
+    import collections
+
+    from tae_tpu.data.loader import device_prefetch
+    from tae_tpu.parallel import batch_sharding
+
     losses = []
     psnrs = []
     samples_for_display = None
-    for it, (imgs, _) in enumerate(loader):
+    real_counts: collections.deque[int] = collections.deque()
+
+    def padded_batches():
+        for imgs, _ in loader:
+            padded, n = _common.pad_batch(imgs, args.batch_size_per_gpu)
+            real_counts.append(n)
+            yield padded
+
+    # data-sharded, double-buffered eval inputs (the reference DDP-wraps
+    # eval, evaluate.py:73; unsharded inputs would replicate onto one chip)
+    for it, imgs in enumerate(device_prefetch(padded_batches(),
+                                              sharding=batch_sharding(mesh))):
+        n = real_counts.popleft()
         if it == 0:
-            samples_for_display = np.asarray(imgs[:8])
-        padded, n = _common.pad_batch(imgs, args.batch_size_per_gpu)
-        per, psnr, _ = per_sample_loss_and_pred(params, jnp.asarray(padded))
+            samples_for_display = np.asarray(imgs[:min(8, n)])
+        per, psnr, _ = per_sample_loss_and_pred(params, imgs)
         losses.append(float(np.asarray(per)[:n].mean()))
         psnrs.append(float(np.asarray(psnr)[:n].mean()))
     eval_loss = float(np.mean(losses))

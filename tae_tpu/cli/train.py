@@ -162,7 +162,7 @@ def main(args) -> None:
 
         if it != 0 and it % args.save_freq == 0:
             print(f"Iteration {it}, evaluating ...")
-            eval_loss = evaluate(eval_fn, state.params, args)
+            eval_loss = evaluate(eval_fn, state.params, args, mesh)
 
             if eval_loss < best_eval_loss:
                 print("Best eval loss improved! Saving checkpoint.")
@@ -194,17 +194,28 @@ def main(args) -> None:
             metric_logger = MetricLogger()
 
 
-def evaluate(eval_fn, params, args) -> float:
+def evaluate(eval_fn, params, args, mesh) -> float:
     """Full val pass; mean of per-batch mean MSE (reference train.py:203-223,
-    including the unequal-final-batch averaging)."""
+    including the unequal-final-batch averaging). Inputs are data-sharded
+    over the mesh with async prefetch (the reference DDP-wraps eval,
+    evaluate.py:73) and decoded by the configured worker pool."""
+    import collections
+
     eval_bs = 8 * args.batch_size_per_gpu
     loader = _common.imagefolder_val_loader(args.val_data_path, args.input_size,
-                                            eval_bs, num_workers=0)
+                                            eval_bs, num_workers=args.num_workers)
+    real_counts: collections.deque[int] = collections.deque()
+
+    def padded_batches():
+        for imgs, _ in loader:
+            padded, n = _common.pad_batch(imgs, eval_bs)
+            real_counts.append(n)
+            yield padded
+
     losses = []
-    for imgs, _ in loader:
-        padded, n = _common.pad_batch(imgs, eval_bs)
-        per = np.asarray(eval_fn(params, jnp.asarray(padded)))
-        losses.append(float(per[:n].mean()))
+    for imgs in device_prefetch(padded_batches(), sharding=batch_sharding(mesh)):
+        per = np.asarray(eval_fn(params, imgs))
+        losses.append(float(per[:real_counts.popleft()].mean()))
     eval_loss = float(np.mean(losses))
     print(f"Current eval loss: {eval_loss}")
     return eval_loss

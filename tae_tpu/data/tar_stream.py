@@ -45,16 +45,65 @@ def expand_shards(spec: str | list[str]) -> list[str]:
             spec[:m.start()] + str(i).zfill(width) + spec[m.end():]
             for i in range(int(lo), int(hi) + 1)
         ]
+    if spec.startswith(("pipe:", "http://", "https://")):
+        return [spec]  # brace ranges expand above; never filesystem-glob URLs
     if any(c in spec for c in "*?["):
         return sorted(globlib.glob(spec))
     return [spec]
 
 
+def open_shard(url: str | Path):
+    """Open one shard as a sequential byte stream (webdataset ``gopen``
+    semantics, reference train.py:84 accepts the same URL forms):
+
+      * ``pipe:CMD`` — run CMD through the shell, stream its stdout (the
+        object-store pattern: ``pipe:gsutil cat gs://bucket/shard.tar``);
+      * ``http(s)://`` — stream over HTTP;
+      * ``file://`` or a plain path — local file.
+
+    Returns (fileobj, closer) — call ``closer()`` when done; it raises if a
+    pipe command exited non-zero (a silently truncated shard must not look
+    like a short dataset).
+    """
+    url = str(url)
+    if url.startswith("pipe:"):
+        import subprocess
+
+        proc = subprocess.Popen(url[len("pipe:"):], shell=True,
+                                stdout=subprocess.PIPE)
+
+        def close_pipe():
+            proc.stdout.close()
+            rc = proc.wait()
+            if rc != 0:
+                raise RuntimeError(f"shard pipe {url!r} exited with {rc}")
+
+        return proc.stdout, close_pipe
+    if url.startswith(("http://", "https://")):
+        import urllib.request
+
+        resp = urllib.request.urlopen(url)  # noqa: S310 - shard URL from config
+        return resp, resp.close
+    if url.startswith("file://"):
+        url = url[len("file://"):]
+    f = open(url, "rb")
+    return f, f.close
+
+
 def tar_samples(path: str | Path) -> Iterator[dict[str, Any]]:
-    """Yield ``{"__key__": key, ext: bytes, ...}`` dicts from one tar shard.
+    """Yield ``{"__key__": key, ext: bytes, ...}`` dicts from one tar shard
+    (local path, ``pipe:`` command, or http(s) URL — see :func:`open_shard`).
     Members sharing a basename-up-to-first-dot form one sample (webdataset
     convention); a new key flushes the previous sample."""
-    with tarfile.open(path, mode="r|*") as tf:   # streaming mode: sequential reads
+    fileobj, closer = open_shard(path)
+    try:
+        yield from _tar_samples_from(fileobj)
+    finally:
+        closer()
+
+
+def _tar_samples_from(fileobj) -> Iterator[dict[str, Any]]:
+    with tarfile.open(fileobj=fileobj, mode="r|*") as tf:  # streaming mode: sequential reads
         current_key: str | None = None
         sample: dict[str, Any] = {}
         for member in tf:
@@ -112,7 +161,16 @@ class WebDatasetReader:
         self.shuffle_buffer = shuffle_buffer
         urls = shards.urls
         if shard_count > 1:
-            urls = urls[shard_index::shard_count] or urls
+            urls = urls[shard_index::shard_count]
+            # With fewer shards than workers some slices are empty. For a
+            # resampled (infinite) stream an idle worker would starve the
+            # loader, so fall back to sampling from all shards; for a
+            # deterministic single pass (encode.py) the worker must yield
+            # NOTHING — falling back to all shards would re-emit the whole
+            # dataset once per empty slice (reference .with_epoch never
+            # duplicates, encode.py:63-64).
+            if not urls and shards.resampled:
+                urls = shards.urls
         self.urls = urls
         self._rng = random.Random(shards.seed if shards.seed is not None
                                   else (0x7AE + shard_index))

@@ -23,11 +23,20 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.cache
 def default_backend() -> str:
+    """Resolve the backend at every call: the ``TAE_TPU_ATTN`` env var is
+    read live (so platform-switching entry points set it after import), and
+    only the device probe is cached (it latches the platform — entry points
+    that force a different platform must call
+    ``_platform_backend.cache_clear()`` or set the env var)."""
     env = os.environ.get("TAE_TPU_ATTN", "").strip().lower()
     if env in ("pallas", "xla"):
         return env
+    return _platform_backend()
+
+
+@functools.cache
+def _platform_backend() -> str:
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no devices at all

@@ -32,6 +32,64 @@ def test_save_load_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_save_is_atomic_under_mid_save_crash(tmp_path, monkeypatch):
+    """A failure injected mid-save must leave a restorable checkpoint
+    (VERDICT r1 weak #5: the old rmtree-before-save destroyed the only
+    checkpoint, defeating --resume_auto)."""
+    import tae_tpu.ckpt.io as io
+
+    model = TAE(TAEConfig(**TINY))
+    params = model.init(jax.random.key(0))
+    save_checkpoint(tmp_path / "ck", params, step=1)
+
+    real_checkpointer = io._checkpointer
+
+    class CrashingCkptr:
+        def __init__(self):
+            self._real = real_checkpointer()
+
+        def save(self, path, tree):
+            # write a partial tree then die, as a preemption would
+            path.mkdir(parents=True, exist_ok=True)
+            (path / "partial").write_bytes(b"\x00" * 16)
+            raise RuntimeError("preempted mid-save")
+
+        def wait_until_finished(self):
+            pass
+
+    monkeypatch.setattr(io, "_checkpointer", CrashingCkptr)
+    params2 = jax.tree.map(lambda x: x + 1, params)
+    with pytest.raises(RuntimeError):
+        save_checkpoint(tmp_path / "ck", params2, step=2)
+    monkeypatch.setattr(io, "_checkpointer", real_checkpointer)
+
+    restored, meta = load_checkpoint(tmp_path / "ck", target=params)
+    assert meta["step"] == 1
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # the leftover partial tmp dir must not break the next real save
+    save_checkpoint(tmp_path / "ck", params2, step=2)
+    restored2, meta2 = load_checkpoint(tmp_path / "ck", target=params)
+    assert meta2["step"] == 2
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(restored2)[0]),
+                                  np.asarray(jax.tree.leaves(params2)[0]))
+
+
+def test_load_falls_back_to_old_tree_between_swap_renames(tmp_path):
+    """Crash between the two swap renames leaves only `tree.old`; load must
+    restore from it."""
+    model = TAE(TAEConfig(**TINY))
+    params = model.init(jax.random.key(0))
+    save_checkpoint(tmp_path / "ck", params, step=3)
+    tree = tmp_path / "ck" / "tree"
+    tree.rename(tmp_path / "ck" / "tree.old")
+    restored, meta = load_checkpoint(tmp_path / "ck", target=params)
+    assert meta["step"] == 3
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_load_params_from_torch_pth(tmp_path):
     """The intended behavior of the reference's broken evaluate.py:78 load:
     a torch {'model': state_dict} checkpoint loads into our model."""

