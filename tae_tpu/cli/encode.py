@@ -58,16 +58,31 @@ def get_args_parser() -> argparse.ArgumentParser:
 
 def _encode_iter(path: str, input_size: int, deterministic: bool, seed: int,
                  worker_id: int, num_workers: int):
+    from tae_tpu.data import native
+
     spec = ShardSpec.from_string(path, resampled=False)
-    reader = WebDatasetReader(spec, decode=decode_jpg_cls,
+    use_native = native.available()
+    reader = WebDatasetReader(spec, decode=None if use_native else decode_jpg_cls,
                               shard_index=worker_id, shard_count=num_workers)
-    if deterministic:
+    rng = np.random.default_rng(seed + worker_id)
+    if use_native:
+        # fused decode+crop+resample+normalize in C++ (native/taedata.cpp)
+        for sample in reader:
+            try:
+                data = sample["jpg"]
+                arr = (native.center_crop(data, input_size) if deterministic
+                       else native.random_resized_crop(data, rng, input_size))
+            except (ValueError, KeyError, OSError):
+                continue
+            cls = sample.get("cls", b"-1")
+            cls = int(cls.decode()) if isinstance(cls, bytes) else int(cls)
+            yield arr, np.int32(cls)
+    elif deterministic:
         tf = center_crop_transform(input_size, pad=32)
         for img, cls in reader:
             yield tf(img), np.int32(cls)
     else:
         tf = random_resized_crop_transform(input_size)
-        rng = np.random.default_rng(seed + worker_id)
         for img, cls in reader:
             yield tf(img, rng), np.int32(cls)
 

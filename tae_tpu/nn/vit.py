@@ -209,10 +209,61 @@ def block_init(key: jax.Array, cfg: BlockConfig, dtype=jnp.float32) -> Params:
 def block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
                 backend: str | None = None) -> jnp.ndarray:
     """Pre-LN residual block (reference tae.py:128-131)."""
+    if "w_q" in p["mlp"]["fc1"] and not cfg.qk_norm:
+        from tae_tpu.ops.attention import default_backend
+
+        if (backend or default_backend()) == "pallas":
+            return int8_block_apply(p, x, cfg)
     x = x + attention_apply(p["attn"], layer_norm_apply(p["norm1"], x, cfg.ln_eps),
                             cfg.attn, backend=backend)
     x = x + mlp_apply(p["mlp"], layer_norm_apply(p["norm2"], x, cfg.ln_eps))
     return x
+
+
+def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Fully fused int8 serving path for one pre-LN block (w8a8 params from
+    tae_tpu.ops.int8.quantize_params). Every elementwise pass rides a fused
+    kernel: LN+quantize (ln_quant), qkv matmul with dequant epilogue,
+    proj matmul with fused residual add, and the whole MLP+residual in one
+    kernel — no (B, N, 4d) hidden activation and no standalone quantize pass
+    ever touches HBM. Attention itself stays bf16 (its FLOPs are negligible
+    at TAE shapes, SURVEY.md §3.5)."""
+    from tae_tpu.ops.int8 import int8_linear
+    from tae_tpu.ops.pallas.int8_block import int8_mlp, ln_quant
+
+    b, n, c = x.shape
+    h = cfg.num_heads
+    dh = c // h
+    x2 = x.reshape(b * n, c)
+    # --- attention half: x = x + proj(attn(qkv(LN(x)))) ---
+    xq, sx = ln_quant(x2, p["norm1"]["scale"], p["norm1"]["bias"],
+                      cfg.ln_eps, interpret=interpret)
+    a = p["attn"]
+    qkv = int8_linear(xq, a["qkv"]["w_q"], a["qkv"]["w_scale"],
+                      a["qkv"].get("b"), x_scale=sx, out_dtype=x.dtype,
+                      interpret=interpret)
+    if not interpret and n >= 128:
+        # same measured dispatch rule as attention_apply
+        from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention
+
+        y = fused_qkv_attention(qkv.reshape(b, n, 3 * c), h)
+    else:
+        r = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        y = attention(r[0], r[1], r[2], backend="xla")
+        y = y.transpose(0, 2, 1, 3)
+    x2 = int8_linear(y.reshape(b * n, c), a["proj"]["w_q"],
+                     a["proj"]["w_scale"], a["proj"].get("b"),
+                     backend="pallas" if not interpret else None,
+                     residual=x2, out_dtype=x.dtype, interpret=interpret)
+    # --- MLP half: x = x + fc2(gelu(fc1(LN(x)))), one kernel ---
+    xq2, sx2 = ln_quant(x2, p["norm2"]["scale"], p["norm2"]["bias"],
+                        cfg.ln_eps, interpret=interpret)
+    f1, f2 = p["mlp"]["fc1"], p["mlp"]["fc2"]
+    x2 = int8_mlp(xq2, sx2, f1["w_q"], f1["w_scale"], f1["b"],
+                  f2["w_q"], f2["w_scale"], f2["b"], residual=x2,
+                  out_dtype=x.dtype, interpret=interpret)
+    return x2.reshape(b, n, c)
 
 
 def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,

@@ -74,14 +74,26 @@ def _block_k(dim: int, cap: int = 4096) -> int:
 
 def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 bias: jnp.ndarray | None = None,
-                backend: str | None = None) -> jnp.ndarray:
+                backend: str | None = None,
+                x_scale: jnp.ndarray | None = None,
+                residual: jnp.ndarray | None = None,
+                out_dtype=None, interpret: bool = False) -> jnp.ndarray:
     """x (..., in) @ int8 weight. Dispatches to the fused Pallas matmul on
     TPU (activation quantization in VMEM, int8 weight streaming, fused
-    dequant epilogue); XLA fallback elsewhere."""
+    dequant epilogue); XLA fallback elsewhere.
+
+    ``x_scale``: (..., 1) per-row scales for already-int8 x (skips the
+    quantize pass entirely — pair with ln_quant). ``residual``: (..., out)
+    added in the epilogue (fused residual connection)."""
     from tae_tpu.ops.attention import default_backend
 
-    if (backend or default_backend()) != "pallas":
-        return int8_linear_xla(x, w_q, w_scale, bias)
+    if not interpret and (backend or default_backend()) != "pallas":
+        if x_scale is not None:
+            x = x.astype(jnp.float32) * x_scale  # dequantize, then requantize
+        y = int8_linear_xla(x, w_q, w_scale, bias)
+        if out_dtype is not None:
+            y = y.astype(out_dtype)
+        return y + residual.astype(y.dtype) if residual is not None else y
 
     from tae_tpu.ops.pallas.int8_matmul import int8_matmul_fused
 
@@ -89,18 +101,26 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     k = x.shape[-1]
     n = w_q.shape[-1]
     x2 = x.reshape(-1, k)
+    sx2 = x_scale.reshape(-1, 1) if x_scale is not None else None
+    res2 = residual.reshape(-1, n) if residual is not None else None
     m = x2.shape[0]
     bm = 256 if m >= 256 else 8
     pad = (-m) % bm
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+        if sx2 is not None:
+            sx2 = jnp.pad(sx2, ((0, pad), (0, 0)), constant_values=1.0)
+        if res2 is not None:
+            res2 = jnp.pad(res2, ((0, pad), (0, 0)))
     # full-K blocks (VMEM-capped) avoid accumulator revisits and repeated
     # activation quantization — measured 258 T/s vs 190 T/s XLA bf16 on v5e
     # at (2048,2560)x(2560,10240); small block_k configurations only tie bf16
     y = int8_matmul_fused(x2, w_q, w_scale, bias,
                           block_m=min(bm, x2.shape[0]),
                           block_n=_block(n, 512), block_k=_block_k(k),
-                          out_dtype=x.dtype)
+                          out_dtype=out_dtype or (x.dtype if x_scale is None
+                                                  else jnp.bfloat16),
+                          x_scale=sx2, residual=res2, interpret=interpret)
     if pad:
         y = y[:m]
     return y.reshape(*lead, n)
@@ -108,11 +128,16 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 
 def quantize_params(params: Params) -> Params:
     """Rewrite every linear ``{"w": (in, out), ["b"]}`` leaf-dict to its int8
-    form. Non-matrix params (norms, embeddings, codebook) pass through."""
+    form. Depth-stacked linears (the ``(depth, in, out)`` leaves produced by
+    ``tae_tpu.nn.vit.blocks_init`` — i.e. every transformer block weight) are
+    quantized per layer via vmap. Non-matrix params (norms, embeddings,
+    codebook) pass through."""
     def walk(node):
         if isinstance(node, dict):
-            if "w" in node and getattr(node["w"], "ndim", 0) == 2:
-                wq, scale = quantize_weight(node["w"])
+            ndim = getattr(node.get("w"), "ndim", 0)
+            if ndim in (2, 3):
+                qfn = quantize_weight if ndim == 2 else jax.vmap(quantize_weight)
+                wq, scale = qfn(node["w"])
                 out: Params = {"w_q": wq, "w_scale": scale}
                 if "b" in node:
                     out["b"] = node["b"]

@@ -1,0 +1,192 @@
+"""Fused int8 transformer-block kernels (Pallas TPU, serving path).
+
+Round-1 measurement (CLAUDE.md): the standalone fused int8 matmul beats XLA
+bf16 (258 vs 190 T/s on v5e) but END-TO-END int8 encode was flat — XLA loses
+its elementwise fusions around ``pallas_call`` boundaries and the activation
+quantize passes (one full read+write of every activation) eat the MXU win.
+These kernels close that gap by moving every elementwise pass into the
+kernels that already touch the data:
+
+  * :func:`ln_quant` — LayerNorm (fp32 statistics, torch-autocast semantics,
+    reference tae.py:122/159) fused with symmetric per-row int8 activation
+    quantization: one HBM read of the bf16 activations, one int8 write
+    (half the bytes) plus a (M, 1) scale vector. Replaces LN-write +
+    quantize-read+write (3 full passes) with 1.5.
+  * :func:`int8_mlp` — the whole ViT MLP (reference tae.py:100-105:
+    fc1 -> GELU -> fc2) plus the residual add in ONE kernel: int8 x int8
+    matmuls on the MXU, GELU (tanh form — see tae_tpu/nn/vit.py GELU note)
+    and re-quantization of the hidden activations in VMEM, fp32 accumulation
+    over hidden blocks, residual-add epilogue. The (M, 4d) hidden activation
+    never exists in HBM in any precision.
+
+Hidden-activation quantization is per-row *per hidden block* (block_h
+columns share one scale per row), which is strictly finer-grained — and
+therefore more accurate — than one per-row scale over the full hidden dim;
+it also makes fp32 (not int32) block accumulation exact per block.
+
+Serving-only (no VJPs): int8 is an opt-in inference path
+(``Tokenizer.from_checkpoint(..., quantization="int8")``).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# fused LayerNorm -> int8 quantize
+# ---------------------------------------------------------------------------
+
+def _ln_quant_kernel(x_ref, w_ref, b_ref, xq_ref, sx_ref, *, eps: float):
+    x = x_ref[:].astype(jnp.float32)                     # (bm, D)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + eps) * w_ref[:].astype(jnp.float32) \
+        + b_ref[:].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True) / 127.0, 1e-12)
+    xq_ref[:] = jnp.clip(jnp.round(y * pl.reciprocal(s, approx=False)),
+                         -127.0, 127.0).astype(jnp.int8)
+    sx_ref[:] = s
+
+
+def ln_quant(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+             eps: float = 1e-6, block_m: int = 256,
+             interpret: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """x (M, D) float -> (int8 LayerNormed x, (M, 1) fp32 per-row scales)."""
+    m, d = x.shape
+    bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
+    pad = (-m) % bm
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    mp = x.shape[0]
+    xq, sx = pl.pallas_call(
+        functools.partial(_ln_quant_kernel, eps=eps),
+        grid=(mp // bm,),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((mp, d), jnp.int8),
+                   jax.ShapeDtypeStruct((mp, 1), jnp.float32)],
+        interpret=interpret,
+    )(x, weight.reshape(1, d), bias.reshape(1, d))
+    if pad:
+        xq, sx = xq[:m], sx[:m]
+    return xq, sx
+
+
+# ---------------------------------------------------------------------------
+# fused int8 MLP (fc1 -> GELU -> requantize -> fc2) + residual
+# ---------------------------------------------------------------------------
+
+def _mlp_kernel(xq_ref, sx_ref, w1_ref, sw1_ref, b1_ref, w2_ref,
+                sw2_ref, b2_ref, res_ref, o_ref, acc_ref, *, n_h: int):
+    hb = pl.program_id(1)
+
+    @pl.when(hb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # fc1 over the full model dim: (bm, D) int8 x (D, bh) int8 -> int32
+    ig = jax.lax.dot_general(xq_ref[:], w1_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+    h = ig.astype(jnp.float32) * sx_ref[:] * sw1_ref[:] \
+        + b1_ref[:].astype(jnp.float32)
+    # tanh-form GELU (max error below bf16 rounding; see nn/vit.py)
+    h = jax.nn.gelu(h, approximate=True)
+    # per-row re-quantization, scoped to this hidden block
+    sh = jnp.maximum(jnp.max(jnp.abs(h), axis=-1, keepdims=True) / 127.0, 1e-12)
+    hq = jnp.clip(jnp.round(h * pl.reciprocal(sh, approx=False)),
+                  -127.0, 127.0).astype(jnp.int8)
+    # fc2 partial: (bm, bh) int8 x (bh, D) int8, fp32-accumulated with the
+    # per-(row, block) hidden scale folded in
+    ig2 = jax.lax.dot_general(hq, w2_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc_ref[:] += ig2.astype(jnp.float32) * sh
+
+    @pl.when(hb == n_h - 1)
+    def _():
+        y = acc_ref[:] * sw2_ref[:] + b2_ref[:].astype(jnp.float32) \
+            + res_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+def _divisor_block(dim: int, cap: int) -> int:
+    b = cap
+    while dim % b:
+        b //= 2
+    return max(b, 1)
+
+
+def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
+             w1_q: jnp.ndarray, w1_scale: jnp.ndarray, b1: jnp.ndarray,
+             w2_q: jnp.ndarray, w2_scale: jnp.ndarray, b2: jnp.ndarray,
+             residual: jnp.ndarray, block_m: int | None = None,
+             block_h: int | None = None,
+             out_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+    """residual + fc2(gelu(fc1(dequant(xq)))) with int8 weights, one kernel.
+
+    xq (M, D) int8 with per-row scales sx (M, 1) — the output of
+    :func:`ln_quant`. w1_q (D, H) / w2_q (H, D) int8 with per-output-channel
+    scales (tae_tpu.ops.int8.quantize_weight layout). residual (M, D) float.
+
+    Weight blocks are re-streamed once per M block, so larger ``block_m``
+    cuts HBM weight traffic linearly until VMEM runs out; defaults are
+    env-overridable (TAE_TPU_INT8_MLP_BM / _BH) for on-chip tuning.
+    """
+    m, d = xq.shape
+    hdim = w1_q.shape[1]
+    if block_m is None:
+        block_m = int(os.environ.get("TAE_TPU_INT8_MLP_BM", "256"))
+    if block_h is None:
+        block_h = int(os.environ.get("TAE_TPU_INT8_MLP_BH", "512"))
+    bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
+    bh = _divisor_block(hdim, block_h)
+    pad = (-m) % bm
+    if pad:
+        xq = jnp.pad(xq, ((0, pad), (0, 0)))
+        sx = jnp.pad(sx, ((0, pad), (0, 0)), constant_values=1.0)
+        residual = jnp.pad(residual, ((0, pad), (0, 0)))
+    mp = xq.shape[0]
+    n_h = hdim // bh
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, n_h=n_h),
+        grid=(mp // bm, n_h),
+        in_specs=[
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bh, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, d), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, d), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xq, sx, w1_q, w1_scale.reshape(1, hdim).astype(jnp.float32),
+      b1.reshape(1, hdim).astype(jnp.float32), w2_q,
+      w2_scale.reshape(1, d).astype(jnp.float32),
+      b2.reshape(1, d).astype(jnp.float32), residual)
+    if pad:
+        out = out[:m]
+    return out

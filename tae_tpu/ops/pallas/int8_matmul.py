@@ -27,8 +27,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, o_ref, acc_ref, *,
-            n_k: int, has_bias: bool, quantize_in_kernel: bool):
+def _kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, res_ref, o_ref, acc_ref, *,
+            n_k: int, has_bias: bool, has_residual: bool,
+            quantize_in_kernel: bool):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -50,6 +51,8 @@ def _kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, o_ref, acc_ref, *,
         y = acc_ref[:].astype(jnp.float32) * sx_ref[:] * sw_ref[:]
         if has_bias:
             y = y + b_ref[:].astype(jnp.float32)
+        if has_residual:
+            y = y + res_ref[:].astype(jnp.float32)
         o_ref[:] = y.astype(o_ref.dtype)
 
 
@@ -58,12 +61,18 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                       block_m: int = 256, block_n: int = 512,
                       block_k: int = 512, out_dtype=None,
                       prequantize: bool = True,
+                      x_scale: jnp.ndarray | None = None,
+                      residual: jnp.ndarray | None = None,
                       interpret: bool = False) -> jnp.ndarray:
     """x (M, K) float, w_q (K, N) int8, w_scale (N,) -> (M, N).
 
     ``prequantize=True`` (default) quantizes x to int8 once with a cheap XLA
     pass before the kernel — in-kernel quantization reruns per n-block
     (N/block_n redundant VPU passes) and halves the read-traffic win.
+    ``x_scale`` lets callers pass already-int8 x with its (M, 1) per-row
+    scales (e.g. from :func:`tae_tpu.ops.pallas.int8_block.ln_quant`) so no
+    quantize pass runs at all. ``residual`` (M, N) is added in the epilogue
+    (fused residual-connection add).
     Shapes must tile evenly into the (possibly clamped) blocks; callers pad
     (tae_tpu.ops.int8 handles arbitrary leading dims and padding).
     """
@@ -75,22 +84,33 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     if m % block_m or n % block_n or k % block_k:
         raise ValueError(f"shape ({m},{k})x({k},{n}) not divisible by blocks "
                          f"({block_m},{block_n},{block_k})")
-    out_dtype = out_dtype or x.dtype
     n_k = k // block_k
 
-    # per-row symmetric scales (one cheap fused reduce in XLA)
-    x32 = x.astype(jnp.float32)
-    sx = jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0
-    sx = jnp.maximum(sx, 1e-12)
-    if prequantize:
-        x = jnp.clip(jnp.round(x32 / sx), -127.0, 127.0).astype(jnp.int8)
+    if x_scale is not None:
+        assert x.dtype == jnp.int8, "x_scale requires already-quantized x"
+        out_dtype = out_dtype or jnp.bfloat16
+        sx = x_scale
+    else:
+        out_dtype = out_dtype or x.dtype
+        # per-row symmetric scales (one cheap fused reduce in XLA)
+        x32 = x.astype(jnp.float32)
+        sx = jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0
+        sx = jnp.maximum(sx, 1e-12)
+        if prequantize:
+            x = jnp.clip(jnp.round(x32 / sx), -127.0, 127.0).astype(jnp.int8)
 
     has_bias = bias is not None
     b_arg = bias.reshape(1, n) if has_bias else jnp.zeros((1, n), jnp.float32)
+    has_residual = residual is not None
+    res_arg = residual if has_residual else jnp.zeros((1, n), jnp.float32)
+    res_bm = block_m if has_residual else 1
+    res_map = (lambda i, j, kk: (i, j)) if has_residual \
+        else (lambda i, j, kk: (0, j))
 
     return pl.pallas_call(
         functools.partial(_kernel, n_k=n_k, has_bias=has_bias,
-                          quantize_in_kernel=not prequantize),
+                          has_residual=has_residual,
+                          quantize_in_kernel=x_scale is None and not prequantize),
         grid=(m // block_m, n // block_n, n_k),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
@@ -103,6 +123,8 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((res_bm, block_n), res_map,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
@@ -112,4 +134,4 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(x, w_q, sx, w_scale.reshape(1, n).astype(jnp.float32),
-      b_arg.astype(jnp.float32))
+      b_arg.astype(jnp.float32), res_arg)

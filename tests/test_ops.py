@@ -243,3 +243,115 @@ def test_bf16_gelu_approx_within_bf16_rounding():
     # approximation's 3e-3 analytic bound
     step = np.maximum(np.abs(exact_bf16) * 2 ** -6, 2 ** -9)
     assert (diff <= step + 3.2e-3).all()
+
+
+# ---------------------------------------------------------------------------
+# fused int8 block kernels (ops/pallas/int8_block.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,d", [(64, 128), (40, 256), (130, 384)])
+def test_ln_quant_matches_reference(m, d):
+    from tae_tpu.ops.layernorm import layer_norm_xla
+    from tae_tpu.ops.pallas.int8_block import ln_quant
+
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    x = jax.random.normal(k1, (m, d), jnp.float32) * 2 + 0.5
+    w = jax.random.normal(k2, (d,), jnp.float32)
+    b = jax.random.normal(k3, (d,), jnp.float32)
+    xq, sx = ln_quant(x, w, b, 1e-6, interpret=True)
+    assert xq.shape == (m, d) and xq.dtype == jnp.int8
+    assert sx.shape == (m, 1)
+    y = np.asarray(layer_norm_xla(x, w, b, 1e-6))
+    s_ref = np.maximum(np.abs(y).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    np.testing.assert_allclose(np.asarray(sx), s_ref, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(xq, np.float32) * np.asarray(sx),
+                               y, atol=s_ref.max() * 0.51)
+
+
+@pytest.mark.parametrize("m,d,hdim,bh", [(64, 128, 512, 128), (40, 256, 1024, 512)])
+def test_int8_mlp_matches_blockwise_emulation(m, d, hdim, bh):
+    """Kernel vs an exact numpy/jnp emulation of the same blockwise int8
+    algorithm (int32 dots, per-(row, block) hidden scales, fp32 accum)."""
+    from tae_tpu.ops.int8 import quantize_weight
+    from tae_tpu.ops.pallas.int8_block import int8_mlp, ln_quant
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((d, hdim)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal(hdim).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((hdim, d)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1)
+    res = jnp.asarray(rng.standard_normal((m, d)).astype(np.float32))
+    w1q, s1 = quantize_weight(w1)
+    w2q, s2 = quantize_weight(w2)
+    ln_w = jnp.ones((d,), jnp.float32)
+    ln_b = jnp.zeros((d,), jnp.float32)
+    xq, sx = ln_quant(x, ln_w, ln_b, 1e-6, interpret=True)
+
+    got = int8_mlp(xq, sx, w1q, s1, b1, w2q, s2, b2, res,
+                   block_m=32, block_h=bh, out_dtype=jnp.float32,
+                   interpret=True)
+
+    # exact emulation of the kernel's algorithm
+    xq_n = np.asarray(xq, np.int64)
+    acc = np.zeros((m, d), np.float32)
+    for j in range(hdim // bh):
+        sl = slice(j * bh, (j + 1) * bh)
+        ig = (xq_n @ np.asarray(w1q, np.int64)[:, sl]).astype(np.float32)
+        h = ig * np.asarray(sx) * np.asarray(s1)[sl] + np.asarray(b1)[sl]
+        h = np.asarray(jax.nn.gelu(jnp.asarray(h), approximate=True))
+        sh = np.maximum(np.abs(h).max(axis=1, keepdims=True) / 127.0, 1e-12)
+        hq = np.clip(np.round(h / sh), -127, 127).astype(np.int64)
+        acc += (hq @ np.asarray(w2q, np.int64)[sl]).astype(np.float32) * sh
+    ref = acc * np.asarray(s2) + np.asarray(b2) + np.asarray(res)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-3, rtol=1e-3)
+
+    # and the whole thing approximates the float MLP to int8 tolerance
+    y_ln = np.asarray(x)  # ln with identity affine on ~unit-scale input
+    y_ln = (y_ln - y_ln.mean(1, keepdims=True)) / np.sqrt(
+        y_ln.var(1, keepdims=True) + 1e-6)
+    h_f = np.asarray(jax.nn.gelu(jnp.asarray(y_ln @ np.asarray(w1) + np.asarray(b1)),
+                                 approximate=True))
+    ref_f = h_f @ np.asarray(w2) + np.asarray(b2) + np.asarray(res)
+    rel = np.abs(np.asarray(got) - ref_f).mean() / np.abs(ref_f).mean()
+    assert rel < 0.02, rel
+
+
+def test_int8_matmul_fused_prequantized_input_and_residual():
+    from tae_tpu.ops.int8 import quantize_weight
+    from tae_tpu.ops.pallas.int8_block import ln_quant
+    from tae_tpu.ops.pallas.int8_matmul import int8_matmul_fused
+
+    rng = np.random.default_rng(3)
+    m, k, n = 64, 256, 128
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    res = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32))
+    wq, sw = quantize_weight(w)
+    xq, sx = ln_quant(x, jnp.ones((k,)), jnp.zeros((k,)), 1e-6, interpret=True)
+
+    got = int8_matmul_fused(xq, wq, sw, b, block_m=32, block_n=128,
+                            block_k=128, out_dtype=jnp.float32, x_scale=sx,
+                            residual=res, interpret=True)
+    ref = (np.asarray(xq, np.int64) @ np.asarray(wq, np.int64)).astype(np.float32)
+    ref = ref * np.asarray(sx) * np.asarray(sw) + np.asarray(b) + np.asarray(res)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=2e-3)
+
+
+def test_int8_block_apply_matches_float_block():
+    """The fully fused int8 block path (interpret mode) approximates the
+    float block to int8-serving tolerance."""
+    from tae_tpu.nn.vit import (BlockConfig, block_apply, block_init,
+                                int8_block_apply)
+    from tae_tpu.ops.int8 import quantize_params
+
+    cfg = BlockConfig(dim=128, num_heads=4)
+    p = block_init(jax.random.key(12), cfg)
+    pq = quantize_params(p)
+    x = jax.random.normal(jax.random.key(13), (2, 16, 128), jnp.float32)
+    ref = block_apply(p, x, cfg, backend="xla")
+    got = int8_block_apply(pq, x, cfg, interpret=True)
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
+    assert rel < 0.03, rel
