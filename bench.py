@@ -1,9 +1,12 @@
-"""Benchmark: encode throughput (images/sec/chip) at 256px.
+"""Benchmark: encode + train throughput (images/sec/chip) at 256px.
 
-Measures the frozen-encoder tokenization path on tae_patch64_vocab4096_px256
-(BASELINE.json config 3: the encode.py dataset-tokenization run) in bf16 with
-device-resident synthetic batches. Prints ONE JSON line; vs_baseline is
-relative to the 10k img/s/chip north-star target.
+Measures the frozen-encoder tokenization path (BASELINE.json config 3: the
+reference encode.py run, /root/reference/encode.py:76-91) across the patch
+grid, in bf16 and in the opt-in int8 w8a8 serving mode (fused Pallas block
+kernels, tae_tpu/ops/pallas/int8_block.py), plus the p16 training step.
+Prints ONE JSON line; vs_baseline is relative to the 10k img/s/chip
+north-star target. The headline metric is the fastest encode configuration;
+per-config numbers are in "detail".
 
 Measurement design for a tunneled chip (host<->device transfers are slow and
 async dispatch can't be awaited reliably): all K iterations run inside a
@@ -20,10 +23,18 @@ import time
 import jax
 import jax.numpy as jnp
 
-MODEL = "tae_patch64_vocab4096_px256"
 BASELINE_IMG_PER_SEC = 10_000.0
-BATCH = 128
-K_LONG = 16
+K_LONG = 12
+
+# (name, model, batch, int8) — int8 batch/config choices are the measured
+# optima on v5e (see CLAUDE.md measured numbers)
+ENCODE_CONFIGS = [
+    ("encode_p16_bf16_b128", "tae_patch16_vocab256_px256", 128, False),
+    ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, False),
+    ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True),
+    ("encode_p128_bf16_b128", "tae_patch128_vocab4096_px256", 128, False),
+    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True),
+]
 
 
 def _timed_scan(model, policy, params, imgs, k: int):
@@ -48,25 +59,80 @@ def _timed_scan(model, policy, params, imgs, k: int):
     return best
 
 
-def main() -> None:
+def bench_encode(name: str, model_name: str, batch: int, int8: bool) -> float:
     from tae_tpu import models
     from tae_tpu.utils.dtypes import Policy
 
-    model = models.create(MODEL)
+    model = models.create(model_name)
     params = jax.jit(lambda k: model.init(k, dtype=jnp.bfloat16))(jax.random.key(0))
+    if int8:
+        from tae_tpu.ops.int8 import quantize_params
+
+        params = jax.jit(quantize_params)(params)
     policy = Policy(param_dtype=jnp.bfloat16)
-    imgs = jax.random.normal(jax.random.key(1), (BATCH, 3, 256, 256), jnp.bfloat16)
+    imgs = jax.random.normal(jax.random.key(1), (batch, 3, 256, 256), jnp.bfloat16)
 
     t1 = _timed_scan(model, policy, params, imgs, 1)
     tk = _timed_scan(model, policy, params, imgs, K_LONG)
     per_iter = max(tk - t1, 1e-9) / (K_LONG - 1)
-    img_per_sec = BATCH / per_iter
+    del params
+    return batch / per_iter
 
+
+def bench_train(batch: int = 16, steps: int = 8) -> float:
+    """p16 training step (fp32 AdamW): the largest config whose backward
+    compiles over the relay's compile helper (see CLAUDE.md); micro-batch 16
+    with grad accumulation is the production configuration."""
+    from tae_tpu import models
+    from tae_tpu.train import TrainState, adamw, make_train_step, step_lr
+
+    model = models.create("tae_patch16_vocab256_px256")
+    params = jax.jit(model.init)(jax.random.key(0))
+    opt = adamw(weight_decay=0.0)
+    state = TrainState.create(params, opt)
+    loss_fn = lambda p, b: (model.forward(p, b)[0], {})  # noqa: E731
+    step = jax.jit(make_train_step(loss_fn, opt, step_lr(1e-4, 1e-5, 450_000)),
+                   donate_argnums=0)
+    imgs = jax.random.normal(jax.random.key(1), (batch, 3, 256, 256), jnp.float32)
+
+    def run(n, s):
+        m = None
+        for i in range(n):
+            s, m = step(s, imgs, jnp.int32(i))
+        float(m["loss"])  # force
+        return s
+
+    state = run(1, state)  # compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state = run(1, state)
+        t1 = time.perf_counter()
+        state = run(steps + 1, state)
+        t2 = time.perf_counter()
+        best = min(best, max((t2 - t1) - (t1 - t0), 1e-9) / steps)
+    del params, state
+    return batch / best
+
+
+def main() -> None:
+    detail: dict[str, float] = {}
+    for name, model_name, batch, int8 in ENCODE_CONFIGS:
+        detail[name] = round(bench_encode(name, model_name, batch, int8), 1)
+        print(f"# {name}: {detail[name]} img/s", flush=True)
+    detail["train_p16_fp32adam_mb16"] = round(bench_train(), 1)
+    print(f"# train_p16_fp32adam_mb16: {detail['train_p16_fp32adam_mb16']} img/s",
+          flush=True)
+
+    head_name, head = max(((k, v) for k, v in detail.items()
+                           if k.startswith("encode")), key=lambda kv: kv[1])
+    mode = "int8 w8a8" if "int8" in head_name else "bf16"
     print(json.dumps({
-        "metric": f"images/sec/chip encode px256 ({MODEL}, bf16)",
-        "value": round(img_per_sec, 1),
+        "metric": f"images/sec/chip encode px256 (best config: {head_name}, {mode})",
+        "value": head,
         "unit": "img/s",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 4),
+        "vs_baseline": round(head / BASELINE_IMG_PER_SEC, 4),
+        "detail": detail,
     }))
 
 

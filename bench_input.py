@@ -1,0 +1,125 @@
+"""Input-pipeline benchmark: host-side JPEG decode -> augment -> batch rate.
+
+The encode north star (BASELINE.json: >=10k img/s/chip) is an *input-bound*
+problem (SURVEY.md §7 "hard parts"): the chip-side numbers in bench.py only
+hold end-to-end if the host can decode JPEGs at the same rate. This tool
+measures exactly the host path the encode/train drivers run — webdataset tar
+read -> native fused decode+crop+resample+normalize (native/taedata.cpp, PIL
+fallback) -> batch collate (tae_tpu/data/loader.py) — over generated
+photo-like JPEG shards, and reports:
+
+  * aggregate img/s at the requested worker count,
+  * per-core img/s (the scaling unit for provisioning),
+  * cores needed to saturate each measured chip-side encode rate.
+
+No TPU is touched. Run: ``python bench_input.py [--num_workers N]``.
+
+NOTE this container exposes a single CPU core, so the aggregate number here
+is NOT the capability statement — per-core rate x host cores is. A v5e-8
+host has 112 vCPUs less ~8 for the runtime, i.e. ~13 usable cores per chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import tempfile
+import time
+from pathlib import Path
+
+
+def make_photo_shards(root: Path, num_shards: int, samples_per_shard: int,
+                      size: tuple[int, int] = (500, 375)) -> str:
+    """Generate wds shards of photo-like JPEGs (smooth content + mild noise —
+    realistic entropy; pure noise over-weights Huffman decode)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from tae_tpu.data.fake import make_fake_wds_shard  # noqa: F401 (layout parity)
+    import tarfile
+
+    rng = np.random.default_rng(0)
+    w, h = size
+    xs = np.linspace(0, 8 * np.pi, w)
+    ys = np.linspace(0, 6 * np.pi, h)
+    for s in range(num_shards):
+        with tarfile.open(root / f"bench-{s:06d}.tar", "w") as tar:
+            for i in range(samples_per_shard):
+                ph = rng.uniform(0, np.pi)
+                img = (127 + 120 * np.sin(xs + ph)[None, :, None]
+                       * np.cos(ys + ph)[:, None, None]
+                       * np.ones((1, 1, 3))).astype(np.uint8)
+                img += rng.integers(0, 8, img.shape, dtype=np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(img).save(buf, "JPEG", quality=90)
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{s:06d}{i:05d}.jpg")
+                info.size = len(data)
+                tar.addfile(info, io.BytesIO(data))
+                cls = str(i % 1000).encode()
+                info = tarfile.TarInfo(f"{s:06d}{i:05d}.cls")
+                info.size = len(cls)
+                tar.addfile(info, io.BytesIO(cls))
+    return str(root / ("bench-{000000..%06d}.tar" % (num_shards - 1)))
+
+
+def measure(path: str, input_size: int, num_workers: int, max_samples: int,
+            batch_size: int = 256) -> dict:
+    from tae_tpu.cli.encode import make_encode_loader
+
+    loader = make_encode_loader(path, input_size, deterministic=False, seed=0,
+                                batch_size=batch_size, num_workers=num_workers)
+    n = 0
+    t0 = None
+    for imgs, _ in loader:
+        if t0 is None:  # skip worker spin-up for the first batch
+            t0 = time.perf_counter()
+            continue
+        n += imgs.shape[0]
+        if n >= max_samples:
+            break
+    dt = time.perf_counter() - t0
+    return {"samples": n, "seconds": round(dt, 3),
+            "img_per_sec": round(n / max(dt, 1e-9), 1)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser("host input-pipeline benchmark")
+    ap.add_argument("--data_path", default="", help="existing wds shard spec; "
+                    "generated photo-like shards if empty")
+    ap.add_argument("--input_size", default=256, type=int)
+    ap.add_argument("--num_workers", default=0, type=int,
+                    help="0 = inline single-process (per-core rate)")
+    ap.add_argument("--max_samples", default=2048, type=int)
+    args = ap.parse_args()
+
+    from tae_tpu.data import native
+
+    with tempfile.TemporaryDirectory() as td:
+        path = args.data_path or make_photo_shards(Path(td), 4, 512)
+        res = measure(path, args.input_size, args.num_workers, args.max_samples)
+
+    workers = max(args.num_workers, 1)
+    per_core = res["img_per_sec"] / min(workers, os.cpu_count() or 1)
+    # chip-side rates measured on v5e (bench.py detail; see CLAUDE.md)
+    chip_rates = {"p16_bf16": 1373, "p64_bf16": 3029, "p64_int8": 3647,
+                  "p128_bf16": 9678, "p128_int8": 10947}
+    print(json.dumps({
+        "metric": "host input pipeline (decode+augment+collate) img/s",
+        "value": res["img_per_sec"],
+        "unit": "img/s",
+        "native_decoder": native.available(),
+        "num_workers": args.num_workers,
+        "per_core_img_per_sec": round(per_core, 1),
+        "cores_to_saturate_chip": {
+            k: round(v / per_core, 1) for k, v in chip_rates.items()},
+        "detail": res,
+    }))
+
+
+if __name__ == "__main__":
+    main()

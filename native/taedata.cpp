@@ -137,10 +137,14 @@ Weights compute_weights(float box0, float box1, int in_size, int out_size,
 
 // Resize RGB8 (h, w) from box -> float32 CHW (3, out, out), normalized,
 // with optional horizontal flip fused into the output indexing.
+// out != nullptr: normalized float32 CHW. out_u8 != nullptr: rounded uint8
+// CHW (PIL semantics — PIL/torchvision round the resample back to uint8
+// before ToTensor/Normalize; the u8 path feeds device-side normalization
+// and quarters host->device transfer bytes).
 void resize_box_normalize(const uint8_t* rgb, int w, int h, float bx0,
                           float by0, float bx1, float by1, int out_size,
                           int filter, const float* mean, const float* stdv,
-                          int hflip, float* out) {
+                          int hflip, float* out, uint8_t* out_u8 = nullptr) {
   Weights wx = compute_weights(bx0, bx1, w, out_size, filter);
   Weights wy = compute_weights(by0, by1, h, out_size, filter);
   // horizontal pass into (h', out) float, rows limited to the y-support
@@ -197,8 +201,11 @@ void resize_box_normalize(const uint8_t* rgb, int w, int h, float bx0,
       const size_t base = size_t(j) * out_size + oi;
       const size_t plane = size_t(out_size) * out_size;
       for (int c = 0; c < 3; ++c) {
-        float v = std::clamp(acc[c], 0.0f, 255.0f) * inv255;
-        out[c * plane + base] = (v - mean[c]) / stdv[c];
+        float v = std::clamp(acc[c], 0.0f, 255.0f);
+        if (out_u8)
+          out_u8[c * plane + base] = uint8_t(v + 0.5f);
+        else
+          out[c * plane + base] = (v * inv255 - mean[c]) / stdv[c];
       }
     }
   }
@@ -324,6 +331,22 @@ int tae_decode_to_tensor(const uint8_t* data, size_t len, float bx0, float by0,
   return 0;
 }
 
+// Fused decode -> crop -> resample -> (hflip) -> uint8 CHW (no normalize;
+// pairs with on-device normalization for 4x smaller host->device copies).
+int tae_decode_to_u8(const uint8_t* data, size_t len, float bx0, float by0,
+                     float bx1, float by1, int out_size, int filter,
+                     int hflip, uint8_t* out_chw) {
+  int denom = pick_scale_denom(0, 0, bx1 - bx0, by1 - by0, out_size);
+  std::vector<uint8_t> rgb;
+  int w, h;
+  if (!decode_jpeg(data, len, denom, &rgb, &w, &h)) return -1;
+  const float s = 1.0f / denom;
+  resize_box_normalize(rgb.data(), w, h, bx0 * s, by0 * s, bx1 * s, by1 * s,
+                       out_size, filter, nullptr, nullptr, hflip, nullptr,
+                       out_chw);
+  return 0;
+}
+
 struct BatchItem {
   const uint8_t* data;
   size_t len;
@@ -349,6 +372,35 @@ int tae_decode_batch(const uint8_t** datas, const size_t* lens,
                                     boxes[i * 4 + 1], boxes[i * 4 + 2],
                                     boxes[i * 4 + 3], out_size, filter, mean,
                                     stdv, hflips[i], out_chw + i * stride);
+      if (rc != 0) failed.fetch_add(1);
+      if (done.fetch_add(1) + 1 == n) {
+        std::lock_guard<std::mutex> lk(mu);
+        cv.notify_one();
+      }
+    });
+  }
+  std::unique_lock<std::mutex> lk(mu);
+  cv.wait(lk, [&] { return done.load() == n; });
+  return failed.load();
+}
+
+// Batched uint8 variant of tae_decode_batch (device-side normalization).
+int tae_decode_batch_u8(const uint8_t** datas, const size_t* lens,
+                        const float* boxes, const int* hflips, int n,
+                        int out_size, int filter, int threads,
+                        uint8_t* out_chw) {
+  Pool* p = get_pool(threads);
+  std::atomic<int> done{0};
+  std::atomic<int> failed{0};
+  std::mutex mu;
+  std::condition_variable cv;
+  const size_t stride = size_t(3) * out_size * out_size;
+  for (int i = 0; i < n; ++i) {
+    p->submit([&, i] {
+      int rc = tae_decode_to_u8(datas[i], lens[i], boxes[i * 4 + 0],
+                                boxes[i * 4 + 1], boxes[i * 4 + 2],
+                                boxes[i * 4 + 3], out_size, filter,
+                                hflips[i], out_chw + i * stride);
       if (rc != 0) failed.fetch_add(1);
       if (done.fetch_add(1) + 1 == n) {
         std::lock_guard<std::mutex> lk(mu);

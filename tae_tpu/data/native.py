@@ -58,6 +58,12 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+    lib.tae_decode_batch_u8.restype = ctypes.c_int
+    lib.tae_decode_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
     _lib = lib
     return lib
 
@@ -140,6 +146,31 @@ def decode_batch(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
         hflips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n, out_size, filter, _fvec(mean), _fvec(std), threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if failed:
+        raise ValueError(f"native batch decode: {failed}/{n} images failed")
+    return out
+
+
+def decode_batch_u8(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
+                    out_size: int, filter: int = BICUBIC, threads: int = 0
+                    ) -> np.ndarray:
+    """Batched fused decode to uint8 CHW (no normalization) — pairs with
+    on-device normalization (tae_tpu.data.transforms.device_normalize): 4x
+    smaller host->device copies and PIL-exact uint8 rounding semantics."""
+    lib = _load()
+    n = len(datas)
+    arr_data = (ctypes.c_char_p * n)(*datas)
+    arr_len = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    hflips = np.ascontiguousarray(hflips, np.int32)
+    out = np.empty((n, 3, out_size, out_size), np.uint8)
+    threads = threads or (os.cpu_count() or 1)
+    failed = lib.tae_decode_batch_u8(
+        arr_data, arr_len,
+        boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        hflips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n, out_size, filter, threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
     if failed:
         raise ValueError(f"native batch decode: {failed}/{n} images failed")
     return out

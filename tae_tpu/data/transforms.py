@@ -46,6 +46,21 @@ def normalize(arr: np.ndarray, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarr
     return (arr - mean) / std
 
 
+def device_normalize(x, dtype=None, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """On-device ToTensor+Normalize for uint8 (…, C, H, W) batches.
+
+    Pairs with :func:`tae_tpu.data.native.decode_batch_u8`: the host ships
+    uint8 (4x fewer host->device bytes than f32) and this folds /255, -mean,
+    /std into one elementwise op that XLA fuses into the consumer (the
+    patch-embed matmul read) — the normalization itself becomes free."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    mean = jnp.asarray(mean, dtype).reshape(-1, 1, 1) * 255.0
+    inv = 1.0 / (jnp.asarray(std, dtype).reshape(-1, 1, 1) * 255.0)
+    return (x.astype(dtype) - mean) * inv
+
+
 def _sample_rrc_box(rng: np.random.Generator, width: int, height: int,
                     scale: tuple[float, float], ratio: tuple[float, float]
                     ) -> tuple[int, int, int, int]:

@@ -21,6 +21,7 @@ Conventions:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -110,7 +111,20 @@ def patch_embed_init(key: jax.Array, patch_size: int, in_chans: int,
 
 
 def patch_embed_apply(p: Params, imgs: jnp.ndarray, patch_size: int) -> jnp.ndarray:
-    """(B, C, H, W) -> (B, N, E): patch extraction + one MXU matmul."""
+    """(B, C, H, W) -> (B, N, E): patch extraction + one MXU matmul.
+
+    For large patches the explicit extract_patches relayout is expressed as
+    one einsum instead so XLA folds (most of) the transpose into the matmul
+    operand read — measured +1.4-2.5% end-to-end p128 encode, neutral at
+    p16/p64; kept above the reference's strided-conv lowering, which
+    measured 1.5% slower than v1 (v5e, lax.conv_general_dilated)."""
+    if "w" in p and patch_size >= 64:
+        b, c, h, w = imgs.shape
+        gh, gw = h // patch_size, w // patch_size
+        x = imgs.reshape(b, c, gh, patch_size, gw, patch_size)
+        wmat = p["w"].reshape(c, patch_size, patch_size, -1)
+        y = jnp.einsum("bchpwq,cpqe->bhwe", x, wmat)
+        return y.reshape(b, gh * gw, -1) + p["b"]
     x = extract_patches(imgs, patch_size)
     return linear_apply(p, x)
 
@@ -118,6 +132,25 @@ def patch_embed_apply(p: Params, imgs: jnp.ndarray, patch_size: int) -> jnp.ndar
 # ---------------------------------------------------------------------------
 # attention
 # ---------------------------------------------------------------------------
+
+def _fused_attn_minn() -> int:
+    """Minimum token count for the fused-qkv Pallas attention kernel (the
+    measured v5e crossover; env-overridable for on-chip tuning)."""
+    return int(os.environ.get("TAE_TPU_ATTN_FUSED_MINN", "128"))
+
+
+def _attn_wide(n: int, int8_path: bool) -> bool:
+    """Measured dispatch for the wide (batch-blocked) packed attention
+    kernel below the fused-kernel crossover (v5e): always wins inside the
+    int8 block (+18% p64 encode — everything around it is already Pallas,
+    so there are no XLA fusions to lose); in bf16 it wins only at N<=4
+    (+1.3% p128, but -9% p64 where XLA fuses LN into its attention
+    einsums). TAE_TPU_ATTN_WIDE=1/0 forces it on/off."""
+    env = os.environ.get("TAE_TPU_ATTN_WIDE", "")
+    if env in ("0", "1"):
+        return env == "1"
+    return int8_path or n <= 4
+
 
 def attention_init(key: jax.Array, cfg: AttentionConfig, dtype=jnp.float32) -> Params:
     k_qkv, k_proj = jax.random.split(key)
@@ -141,7 +174,11 @@ def attention_apply(p: Params, x: jnp.ndarray, cfg: AttentionConfig,
     dh = c // h
     qkv = linear_apply(p["qkv"], x)  # (B, N, 3C)
     resolved = backend or default_backend()
-    if backend is None and resolved == "pallas" and n < 128:
+    if backend is None and resolved == "pallas" and n < _fused_attn_minn():
+        if _attn_wide(n, int8_path=False) and not cfg.qk_norm:
+            from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_wide
+
+            return linear_apply(p["proj"], fused_qkv_attention_wide(qkv, h))
         # measured on v5e: the fused kernel wins at N=256 (+24% end-to-end
         # encode) but XLA's folded-batch einsums win at N<=64 where
         # attention is a negligible FLOP fraction and per-head matmuls are
@@ -243,11 +280,15 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     qkv = int8_linear(xq, a["qkv"]["w_q"], a["qkv"]["w_scale"],
                       a["qkv"].get("b"), x_scale=sx, out_dtype=x.dtype,
                       interpret=interpret)
-    if not interpret and n >= 128:
+    if not interpret and n >= _fused_attn_minn():
         # same measured dispatch rule as attention_apply
         from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention
 
         y = fused_qkv_attention(qkv.reshape(b, n, 3 * c), h)
+    elif not interpret and _attn_wide(n, int8_path=True):
+        from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_wide
+
+        y = fused_qkv_attention_wide(qkv.reshape(b, n, 3 * c), h)
     else:
         r = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
         y = attention(r[0], r[1], r[2], backend="xla")

@@ -13,6 +13,9 @@ practice XLA already fuses this pattern well, so the fallback is also fast.
 
 from __future__ import annotations
 
+import math
+import os
+
 import jax.numpy as jnp
 
 
@@ -21,12 +24,19 @@ def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     from tae_tpu.ops.attention import default_backend
 
     resolved = backend or default_backend()
-    if backend is None and resolved == "pallas" and not (
-            x.ndim >= 3 and x.shape[-2] >= 128):
-        # same shape heuristic as attention (measured on v5e): the fused
-        # kernel wins at N>=128 (+4% p16 encode) but breaks XLA's
-        # LN-into-matmul fusions at tiny N (-10% p64/p128)
-        resolved = "xla"
+    if backend is None and resolved == "pallas":
+        rows_env = os.environ.get("TAE_TPU_FLN_ROWS")
+        if rows_env is not None:
+            # tuning override: dispatch on total row count instead of the
+            # measured per-token heuristic
+            ok = math.prod(x.shape[:-1]) >= int(rows_env)
+        else:
+            ok = x.ndim >= 3 and x.shape[-2] >= 128
+        if not ok:
+            # same shape heuristic as attention (measured on v5e): the fused
+            # kernel wins at N>=128 (+4% p16 encode) but breaks XLA's
+            # LN-into-matmul fusions at tiny N (-10% p64/p128)
+            resolved = "xla"
     if resolved == "pallas" and x.shape[-1] >= 128:
         from tae_tpu.ops.pallas.layernorm import fused_layer_norm
 

@@ -148,10 +148,14 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
     """
     m, d = xq.shape
     hdim = w1_q.shape[1]
+    # measured on v5e (batch-128 encode): bm 256 > 128 (+4% p64) since weight
+    # blocks re-stream once per M block; bh 1024 > 512 (+2%: half the
+    # accumulator-update passes). Small-d models have VMEM room for bm 512.
     if block_m is None:
-        block_m = int(os.environ.get("TAE_TPU_INT8_MLP_BM", "256"))
+        block_m = int(os.environ.get("TAE_TPU_INT8_MLP_BM",
+                                     "512" if d <= 1024 else "256"))
     if block_h is None:
-        block_h = int(os.environ.get("TAE_TPU_INT8_MLP_BH", "512"))
+        block_h = int(os.environ.get("TAE_TPU_INT8_MLP_BH", "1024"))
     bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
     bh = _divisor_block(hdim, block_h)
     pad = (-m) % bm

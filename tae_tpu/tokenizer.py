@@ -70,13 +70,26 @@ class Tokenizer:
 
     def __post_init__(self):
         m, pol = self.model, self.policy
-        self._encode = jax.jit(lambda p, x: m.forward_encoder(p, x, policy=pol))
+
+        def enc(p, x):
+            if x.dtype == jnp.uint8:
+                # raw uint8 CHW pixels (native decode_batch_u8 path): fold
+                # ToTensor+Normalize on device — 4x smaller H2D copies, and
+                # XLA fuses the normalize into the patch-embed read
+                from tae_tpu.data.transforms import device_normalize
+
+                x = device_normalize(x, pol.compute_dtype)
+            return m.forward_encoder(p, x, policy=pol)
+
+        self._encode = jax.jit(enc)
         self._decode = jax.jit(
             lambda p, z: m.unpatchify(m.forward_decoder(p, z, policy=pol)))
 
     # ------------------------------------------------------------------ api
     def encode(self, images) -> jax.Array:
-        """(B, 3, H, W) normalized floats -> (B, N, vocab) latents."""
+        """(B, 3, H, W) -> (B, N, vocab) latents. Accepts normalized float
+        batches (the data layer's default) or raw uint8 pixel batches
+        (normalized on device)."""
         return self._encode(self.params, jnp.asarray(images))
 
     def decode(self, latents) -> jax.Array:

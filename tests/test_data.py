@@ -217,3 +217,100 @@ def _make_worker_iter(pattern, worker_id, num_workers):
     tf = random_resized_crop_transform(16)
     for img, cls in reader:
         yield tf(img, rng), cls
+
+
+def test_encode_loader_batched_native_matches_per_sample(tmp_path):
+    """The prebatched native decode path must produce the same tensors as
+    per-sample native decode (same C code, batched into the buffer)."""
+    from tae_tpu.cli.encode import make_encode_loader
+    from tae_tpu.data import native
+    from tae_tpu.data.fake import make_fake_wds_shard
+    from tae_tpu.data.tar_stream import ShardSpec, WebDatasetReader
+
+    if not native.available():
+        pytest.skip("native library not built")
+    make_fake_wds_shard(tmp_path / "s-000000.tar", num_samples=10, size=96)
+    path = str(tmp_path / "s-000000.tar")
+
+    loader = make_encode_loader(path, 64, deterministic=True, seed=0,
+                                batch_size=4, num_workers=0)
+    batches = list(loader)
+    imgs = np.concatenate([b[0] for b in batches])
+    clss = np.concatenate([b[1] for b in batches])
+    assert imgs.shape == (10, 3, 64, 64)
+    assert len(batches) == 3  # 4+4+2
+
+    ref = []
+    for sample in WebDatasetReader(ShardSpec.from_string(path, resampled=False)):
+        ref.append(native.center_crop(bytes(sample["jpg"]), 64))
+    np.testing.assert_allclose(imgs, np.stack(ref), atol=1e-6)
+    assert clss.dtype == np.int32
+
+
+def test_batch_loader_prebatched_workers(tmp_path):
+    """prebatched=True: workers forward whole batches from make_iter."""
+    from tae_tpu.data.loader import BatchLoader
+
+    loader = BatchLoader(_prebatched_iter, batch_size=8, num_workers=2,
+                         prebatched=True)
+    got = sorted(int(b[0, 0]) for b in loader)
+    assert got == [0, 100, 200, 300]  # 2 batches from each worker
+
+
+def _prebatched_iter(worker_id, num_workers):
+    for j in range(2):
+        yield np.full((8, 3), worker_id * 200 + j * 100, np.int32)
+
+
+def test_device_normalize_matches_host_normalize():
+    import jax.numpy as jnp
+
+    from tae_tpu.data.transforms import device_normalize, normalize
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (2, 3, 8, 8), dtype=np.uint8)
+    ref = normalize(u8.astype(np.float32) / 255.0)
+    got = np.asarray(device_normalize(jnp.asarray(u8)))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_encode_loader_u8_path(tmp_path):
+    """uint8 loader output + device_normalize == float loader output to
+    within the uint8 rounding step."""
+    import jax.numpy as jnp
+
+    from tae_tpu.cli.encode import make_encode_loader
+    from tae_tpu.data import native
+    from tae_tpu.data.fake import make_fake_wds_shard
+    from tae_tpu.data.transforms import device_normalize
+
+    if not native.available():
+        pytest.skip("native library not built")
+    make_fake_wds_shard(tmp_path / "s-000000.tar", num_samples=8, size=96)
+    path = str(tmp_path / "s-000000.tar")
+
+    lu8 = make_encode_loader(path, 64, True, 0, 8, 0, u8=True)
+    (imgs_u8, cls_u8), = list(lu8)
+    assert imgs_u8.dtype == np.uint8 and imgs_u8.shape == (8, 3, 64, 64)
+    lf = make_encode_loader(path, 64, True, 0, 8, 0, u8=False)
+    (imgs_f, cls_f), = list(lf)
+    np.testing.assert_array_equal(cls_u8, cls_f)
+    got = np.asarray(device_normalize(jnp.asarray(imgs_u8)))
+    # one uint8 rounding step through the normalization (0.5/255/std)
+    assert np.abs(got - imgs_f).max() <= 0.5 / 255 / 0.224 + 1e-4
+
+
+def test_tokenizer_accepts_uint8_batches():
+    from tae_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer.from_checkpoint(
+        "tae_patch16_vocab16_px256", dtype=np.float32,
+        embed_dim=64, depth=1, num_heads=4, decoder_embed_dim=64,
+        decoder_depth=1, decoder_num_heads=4, img_size=32, patch_size=16)
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (2, 3, 32, 32), dtype=np.uint8)
+    z8 = np.asarray(tok.encode(u8), np.float32)
+    from tae_tpu.data.transforms import normalize
+    f = normalize(u8.astype(np.float32) / 255.0)
+    zf = np.asarray(tok.encode(f), np.float32)
+    np.testing.assert_allclose(z8, zf, atol=1e-4, rtol=1e-4)

@@ -355,3 +355,41 @@ def test_int8_block_apply_matches_float_block():
     assert got.shape == ref.shape and got.dtype == ref.dtype
     rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
     assert rel < 0.03, rel
+
+
+@pytest.mark.parametrize("b,n,h,dh,bb", [(8, 16, 32, 80, 4), (16, 4, 32, 80, 16),
+                                         (6, 16, 4, 64, 4)])
+def test_fused_qkv_attention_wide_matches_xla(b, n, h, dh, bb):
+    """Batch-blocked packed attention (tiny-N serving path) vs the split
+    reference; bb not dividing b exercises the divisor fallback."""
+    from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_wide
+
+    c = h * dh
+    qkv = jax.random.normal(jax.random.key(21), (b, n, 3 * c), jnp.float32)
+    got = fused_qkv_attention_wide(qkv, h, block_b=bb, interpret=True)
+    r = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    ref = attention_xla(r[0], r[1], r[2]).transpose(0, 2, 1, 3).reshape(b, n, c)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_fused_qkv_attention_wide_grad_matches_reference():
+    from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_wide
+
+    b, n, h, dh = 4, 8, 4, 64
+    c = h * dh
+    qkv = jax.random.normal(jax.random.key(22), (b, n, 3 * c), jnp.float32)
+    ct = jax.random.normal(jax.random.key(23), (b, n, c), jnp.float32)
+
+    def loss_wide(qkv):
+        return jnp.sum(fused_qkv_attention_wide(qkv, h, None, 2, True) * ct)
+
+    def loss_ref(qkv):
+        r = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+        y = attention_xla(r[0], r[1], r[2]).transpose(0, 2, 1, 3).reshape(b, n, c)
+        return jnp.sum(y * ct)
+
+    g1 = jax.grad(loss_wide)(qkv)
+    g2 = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=5e-5, rtol=5e-5)
