@@ -10,9 +10,11 @@ per-config numbers are in "detail".
 
 Measurement design for a tunneled chip (host<->device transfers are slow and
 async dispatch can't be awaited reliably): all K iterations run inside a
-single jitted ``lax.scan`` whose carry feeds each iteration (preventing CSE/
-hoisting), the only fetched output is one scalar, and fixed dispatch/fetch
-overhead cancels by differencing a long scan against a K=1 scan.
+single jitted ``fori_loop`` whose carry feeds each iteration (preventing
+CSE/hoisting), the only fetched output is one scalar, and fixed
+dispatch/fetch overhead cancels by differencing a K-iteration run against a
+K=1 run. The trip count is a traced argument so each config compiles ONCE
+(compiles dominate bench wall time over the relay).
 """
 
 from __future__ import annotations
@@ -26,35 +28,23 @@ import jax.numpy as jnp
 BASELINE_IMG_PER_SEC = 10_000.0
 K_LONG = 12
 
-# (name, model, batch, int8) — int8 batch/config choices are the measured
-# optima on v5e (see CLAUDE.md measured numbers)
+# (name, model, batch, int8) — batch/config choices are the measured optima
+# on v5e (see CLAUDE.md measured numbers)
 ENCODE_CONFIGS = [
     ("encode_p16_bf16_b128", "tae_patch16_vocab256_px256", 128, False),
     ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, False),
     ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True),
-    ("encode_p128_bf16_b128", "tae_patch128_vocab4096_px256", 128, False),
+    ("encode_p128_bf16_b512", "tae_patch128_vocab4096_px256", 512, False),
     ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True),
 ]
 
 
-def _timed_scan(model, policy, params, imgs, k: int):
-    @jax.jit
-    def run(params, imgs):
-        def body(carry, _):
-            z = model.forward_encoder(params, carry, policy=policy)
-            # data dependency on the carry so iterations can't be collapsed
-            bump = jnp.sum(z[0, 0, :8]).astype(carry.dtype) * jnp.bfloat16(1e-8)
-            return carry + bump, ()
-
-        out, _ = jax.lax.scan(body, imgs, None, length=k)
-        return jnp.sum(out[0, 0, 0])
-
-    # warmup (compile) then best-of-3 timed, fetching only the scalar
-    float(run(params, imgs))
+def _timed_loop(model, policy, params, imgs, k: int, run):
+    """Best-of-3 wall time of ``run(params, imgs, k)``, fetching one scalar."""
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run(params, imgs))
+        float(run(params, imgs, jnp.int32(k)))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -72,8 +62,20 @@ def bench_encode(name: str, model_name: str, batch: int, int8: bool) -> float:
     policy = Policy(param_dtype=jnp.bfloat16)
     imgs = jax.random.normal(jax.random.key(1), (batch, 3, 256, 256), jnp.bfloat16)
 
-    t1 = _timed_scan(model, policy, params, imgs, 1)
-    tk = _timed_scan(model, policy, params, imgs, K_LONG)
+    @jax.jit
+    def run(params, imgs, k):
+        def body(_, carry):
+            z = model.forward_encoder(params, carry, policy=policy)
+            # data dependency on the carry so iterations can't be collapsed
+            bump = jnp.sum(z[0, 0, :8]).astype(carry.dtype) * jnp.bfloat16(1e-8)
+            return carry + bump
+
+        out = jax.lax.fori_loop(0, k, body, imgs)
+        return jnp.sum(out[0, 0, 0])
+
+    float(run(params, imgs, jnp.int32(1)))  # compile once (k is traced)
+    t1 = _timed_loop(model, policy, params, imgs, 1, run)
+    tk = _timed_loop(model, policy, params, imgs, K_LONG, run)
     per_iter = max(tk - t1, 1e-9) / (K_LONG - 1)
     del params
     return batch / per_iter

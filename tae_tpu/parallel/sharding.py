@@ -25,15 +25,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 Params = Any
 
-# suffix -> spec for the *trailing* dims (leading depth axis handled below)
+# suffix -> spec for the *trailing* dims (leading depth axis handled below).
+# int8-quantized leaves (w_q + per-output-channel w_scale, see
+# tae_tpu.ops.int8.quantize_params) mirror their float counterparts; the
+# scale vector follows the weight's output-dim sharding, like the bias.
 _RULES: list[tuple[tuple[str, ...], tuple[str | None, ...]]] = [
     (("attn", "qkv", "w"), ("fsdp", "tensor")),
+    (("attn", "qkv", "w_q"), ("fsdp", "tensor")),
+    (("attn", "qkv", "w_scale"), ("tensor",)),
     (("attn", "qkv", "b"), ("tensor",)),
     (("attn", "proj", "w"), ("tensor", "fsdp")),
+    (("attn", "proj", "w_q"), ("tensor", "fsdp")),
+    (("attn", "proj", "w_scale"), (None,)),
     (("attn", "proj", "b"), (None,)),
     (("mlp", "fc1", "w"), ("fsdp", "tensor")),
+    (("mlp", "fc1", "w_q"), ("fsdp", "tensor")),
+    (("mlp", "fc1", "w_scale"), ("tensor",)),
     (("mlp", "fc1", "b"), ("tensor",)),
     (("mlp", "fc2", "w"), ("tensor", "fsdp")),
+    (("mlp", "fc2", "w_q"), ("tensor", "fsdp")),
+    (("mlp", "fc2", "w_scale"), (None,)),
     (("mlp", "fc2", "b"), (None,)),
 ]
 

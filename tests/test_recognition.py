@@ -140,3 +140,26 @@ def test_in1k_cli_head_swap_end_to_end(tmp_path):
     recs = [json.loads(l) for l in log.read_text().strip().splitlines()]
     assert len(recs) == 2
     assert {"test_acc1", "test_acc5", "test_loss", "epoch"} <= set(recs[-1])
+
+
+def test_int8_quantized_recognition_tracks_float():
+    """The int8 serving path covers the downstream latent classifiers too
+    (same fused-block dispatch via vit.block_apply)."""
+    import jax
+
+    from tae_tpu import models
+    from tae_tpu.ops.int8 import quantize_params
+    from tae_tpu.utils.dtypes import FP32
+
+    model = models.create("vit_recognition_numpatches16_vocab256_base",
+                          decoder_embed_dim=128, decoder_depth=2,
+                          decoder_num_heads=4, num_classes=10)
+    params = model.init(jax.random.key(0))
+    qp = quantize_params(params)
+    assert qp["blocks"]["mlp"]["fc1"]["w_q"].dtype.name == "int8"
+    z = jax.random.normal(jax.random.key(1), (4, 16, 256))
+    logits = model.forward(params, z, policy=FP32)
+    logits8 = model.forward(qp, z, policy=FP32)
+    rel = float(np.mean(np.abs(np.asarray(logits8 - logits)))
+                / (np.mean(np.abs(np.asarray(logits))) + 1e-9))
+    assert logits8.shape == logits.shape and rel < 0.2, rel

@@ -216,3 +216,28 @@ def test_log_every_and_profiling(tmp_path, capsys):
     assert isinstance(stats, dict)
     key = profiling.fix_random_seeds(3)
     assert key is not None
+
+
+def test_int8_param_sharding_mirrors_float_rules():
+    """Quantized w_q/w_scale leaves shard like their float counterparts and
+    a quantized encoder executes under GSPMD on the mesh."""
+    from tae_tpu.ops.int8 import quantize_params
+
+    model = TAE(TAEConfig(**TINY))
+    params = model.init(jax.random.key(0))
+    qp = quantize_params(params)
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    sh = param_shardings(qp, mesh)
+    blk = sh["encoder"]["blocks"]
+    # stacked (depth, in, out): trailing dims follow the float rules
+    assert blk["attn"]["qkv"]["w_q"].spec == (None, "fsdp", "tensor")
+    assert blk["attn"]["qkv"]["w_scale"].spec == (None, "tensor")
+    assert blk["mlp"]["fc2"]["w_q"].spec == (None, "tensor", "fsdp")
+
+    qp = jax.device_put(qp, sh)
+    imgs = jax.random.normal(jax.random.key(1), (8, 3, TINY["img_size"],
+                                                 TINY["img_size"]))
+    from tae_tpu.parallel import batch_sharding
+    imgs = jax.device_put(imgs, batch_sharding(mesh))
+    z = jax.jit(lambda p, x: model.forward_encoder(p, x, policy=FP32))(qp, imgs)
+    assert np.isfinite(np.asarray(z, np.float32)).all()
