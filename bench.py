@@ -28,14 +28,18 @@ import jax.numpy as jnp
 BASELINE_IMG_PER_SEC = 10_000.0
 K_LONG = 12
 
-# (name, model, batch, int8) — batch/config choices are the measured optima
-# on v5e (see CLAUDE.md measured numbers)
+# (name, model, batch, int8, patchin) — batch/config choices are the measured
+# optima on v5e (see CLAUDE.md / docs/KERNELS.md measured numbers).
+# int8 runs use the serving layout (quantize_params + unstack_blocks).
+# patchin feeds the pre-patchified (B, N, C*p*p) layout the native decoder
+# emits (--patch_layout): patch embedding is a pure matmul, zero relayout.
 ENCODE_CONFIGS = [
-    ("encode_p16_bf16_b128", "tae_patch16_vocab256_px256", 128, False),
-    ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, False),
-    ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True),
-    ("encode_p128_bf16_b512", "tae_patch128_vocab4096_px256", 512, False),
-    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True),
+    ("encode_p16_bf16_b128", "tae_patch16_vocab256_px256", 128, False, True),
+    ("encode_p16_int8_b128", "tae_patch16_vocab256_px256", 128, True, True),
+    ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, False, False),
+    ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True, True),
+    ("encode_p128_bf16_b512", "tae_patch128_vocab4096_px256", 512, False, True),
+    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True, True),
 ]
 
 
@@ -49,18 +53,23 @@ def _timed_loop(model, policy, params, imgs, k: int, run):
     return best
 
 
-def bench_encode(name: str, model_name: str, batch: int, int8: bool) -> float:
+def bench_encode(name: str, model_name: str, batch: int, int8: bool,
+                 patchin: bool) -> float:
     from tae_tpu import models
     from tae_tpu.utils.dtypes import Policy
 
     model = models.create(model_name)
     params = jax.jit(lambda k: model.init(k, dtype=jnp.bfloat16))(jax.random.key(0))
     if int8:
-        from tae_tpu.ops.int8 import quantize_params
+        from tae_tpu.ops.int8 import quantize_params, unstack_blocks
 
         params = jax.jit(quantize_params)(params)
+        params = unstack_blocks(params)
     policy = Policy(param_dtype=jnp.bfloat16)
-    imgs = jax.random.normal(jax.random.key(1), (batch, 3, 256, 256), jnp.bfloat16)
+    c = model.cfg
+    shape = ((batch, c.num_patches, 3 * c.patch_size ** 2) if patchin
+             else (batch, 3, 256, 256))
+    imgs = jax.random.normal(jax.random.key(1), shape, jnp.bfloat16)
 
     @jax.jit
     def run(params, imgs, k):
@@ -119,8 +128,9 @@ def bench_train(batch: int = 16, steps: int = 8) -> float:
 
 def main() -> None:
     detail: dict[str, float] = {}
-    for name, model_name, batch, int8 in ENCODE_CONFIGS:
-        detail[name] = round(bench_encode(name, model_name, batch, int8), 1)
+    for name, model_name, batch, int8, patchin in ENCODE_CONFIGS:
+        detail[name] = round(
+            bench_encode(name, model_name, batch, int8, patchin), 1)
         print(f"# {name}: {detail[name]} img/s", flush=True)
     detail["train_p16_fp32adam_mb16"] = round(bench_train(), 1)
     print(f"# train_p16_fp32adam_mb16: {detail['train_p16_fp32adam_mb16']} img/s",

@@ -137,14 +137,18 @@ Weights compute_weights(float box0, float box1, int in_size, int out_size,
 
 // Resize RGB8 (h, w) from box -> float32 CHW (3, out, out), normalized,
 // with optional horizontal flip fused into the output indexing.
-// out != nullptr: normalized float32 CHW. out_u8 != nullptr: rounded uint8
-// CHW (PIL semantics — PIL/torchvision round the resample back to uint8
+// out != nullptr: normalized float32. out_u8 != nullptr: rounded uint8
+// (PIL semantics — PIL/torchvision round the resample back to uint8
 // before ToTensor/Normalize; the u8 path feeds device-side normalization
 // and quarters host->device transfer bytes).
+// patch == 0: CHW layout. patch > 0: patchified (N, C*patch*patch) layout,
+// channel-major per patch (tae_tpu.ops.patchify.extract_patches order) —
+// the device-side patch embedding becomes a pure matmul with no relayout.
 void resize_box_normalize(const uint8_t* rgb, int w, int h, float bx0,
                           float by0, float bx1, float by1, int out_size,
                           int filter, const float* mean, const float* stdv,
-                          int hflip, float* out, uint8_t* out_u8 = nullptr) {
+                          int hflip, float* out, uint8_t* out_u8 = nullptr,
+                          int patch = 0) {
   Weights wx = compute_weights(bx0, bx1, w, out_size, filter);
   Weights wy = compute_weights(by0, by1, h, out_size, filter);
   // horizontal pass into (h', out) float, rows limited to the y-support
@@ -198,14 +202,23 @@ void resize_box_normalize(const uint8_t* rgb, int w, int h, float bx0,
         acc[2] += f * px[2];
       }
       const int oi = hflip ? (out_size - 1 - i) : i;
-      const size_t base = size_t(j) * out_size + oi;
-      const size_t plane = size_t(out_size) * out_size;
+      size_t base, cstride;
+      if (patch > 0) {
+        const int gw = out_size / patch;
+        const size_t n = size_t(j / patch) * gw + oi / patch;
+        base = n * size_t(3) * patch * patch + size_t(j % patch) * patch +
+               oi % patch;
+        cstride = size_t(patch) * patch;
+      } else {
+        base = size_t(j) * out_size + oi;
+        cstride = size_t(out_size) * out_size;
+      }
       for (int c = 0; c < 3; ++c) {
         float v = std::clamp(acc[c], 0.0f, 255.0f);
         if (out_u8)
-          out_u8[c * plane + base] = uint8_t(v + 0.5f);
+          out_u8[c * cstride + base] = uint8_t(v + 0.5f);
         else
-          out[c * plane + base] = (v * inv255 - mean[c]) / stdv[c];
+          out[c * cstride + base] = (v * inv255 - mean[c]) / stdv[c];
       }
     }
   }
@@ -320,14 +333,15 @@ int tae_jpeg_decode(const uint8_t* data, size_t len, uint8_t* out_rgb,
 int tae_decode_to_tensor(const uint8_t* data, size_t len, float bx0, float by0,
                          float bx1, float by1, int out_size, int filter,
                          const float* mean, const float* stdv, int hflip,
-                         float* out_chw) {
+                         float* out_chw, int patch = 0) {
   int denom = pick_scale_denom(0, 0, bx1 - bx0, by1 - by0, out_size);
   std::vector<uint8_t> rgb;
   int w, h;
   if (!decode_jpeg(data, len, denom, &rgb, &w, &h)) return -1;
   const float s = 1.0f / denom;
   resize_box_normalize(rgb.data(), w, h, bx0 * s, by0 * s, bx1 * s, by1 * s,
-                       out_size, filter, mean, stdv, hflip, out_chw);
+                       out_size, filter, mean, stdv, hflip, out_chw, nullptr,
+                       patch);
   return 0;
 }
 
@@ -335,7 +349,7 @@ int tae_decode_to_tensor(const uint8_t* data, size_t len, float bx0, float by0,
 // pairs with on-device normalization for 4x smaller host->device copies).
 int tae_decode_to_u8(const uint8_t* data, size_t len, float bx0, float by0,
                      float bx1, float by1, int out_size, int filter,
-                     int hflip, uint8_t* out_chw) {
+                     int hflip, uint8_t* out_chw, int patch = 0) {
   int denom = pick_scale_denom(0, 0, bx1 - bx0, by1 - by0, out_size);
   std::vector<uint8_t> rgb;
   int w, h;
@@ -343,7 +357,7 @@ int tae_decode_to_u8(const uint8_t* data, size_t len, float bx0, float by0,
   const float s = 1.0f / denom;
   resize_box_normalize(rgb.data(), w, h, bx0 * s, by0 * s, bx1 * s, by1 * s,
                        out_size, filter, nullptr, nullptr, hflip, nullptr,
-                       out_chw);
+                       out_chw, patch);
   return 0;
 }
 
@@ -359,7 +373,8 @@ struct BatchItem {
 int tae_decode_batch(const uint8_t** datas, const size_t* lens,
                      const float* boxes, const int* hflips, int n,
                      int out_size, int filter, const float* mean,
-                     const float* stdv, int threads, float* out_chw) {
+                     const float* stdv, int threads, float* out_chw,
+                     int patch) {
   Pool* p = get_pool(threads);
   std::atomic<int> done{0};
   std::atomic<int> failed{0};
@@ -371,7 +386,8 @@ int tae_decode_batch(const uint8_t** datas, const size_t* lens,
       int rc = tae_decode_to_tensor(datas[i], lens[i], boxes[i * 4 + 0],
                                     boxes[i * 4 + 1], boxes[i * 4 + 2],
                                     boxes[i * 4 + 3], out_size, filter, mean,
-                                    stdv, hflips[i], out_chw + i * stride);
+                                    stdv, hflips[i], out_chw + i * stride,
+                                    patch);
       if (rc != 0) failed.fetch_add(1);
       if (done.fetch_add(1) + 1 == n) {
         std::lock_guard<std::mutex> lk(mu);
@@ -388,7 +404,7 @@ int tae_decode_batch(const uint8_t** datas, const size_t* lens,
 int tae_decode_batch_u8(const uint8_t** datas, const size_t* lens,
                         const float* boxes, const int* hflips, int n,
                         int out_size, int filter, int threads,
-                        uint8_t* out_chw) {
+                        uint8_t* out_chw, int patch) {
   Pool* p = get_pool(threads);
   std::atomic<int> done{0};
   std::atomic<int> failed{0};
@@ -400,7 +416,7 @@ int tae_decode_batch_u8(const uint8_t** datas, const size_t* lens,
       int rc = tae_decode_to_u8(datas[i], lens[i], boxes[i * 4 + 0],
                                 boxes[i * 4 + 1], boxes[i * 4 + 2],
                                 boxes[i * 4 + 3], out_size, filter,
-                                hflips[i], out_chw + i * stride);
+                                hflips[i], out_chw + i * stride, patch);
       if (rc != 0) failed.fetch_add(1);
       if (done.fetch_add(1) + 1 == n) {
         std::lock_guard<std::mutex> lk(mu);

@@ -108,8 +108,25 @@ def wds_train_loader(args, batch_size: int) -> BatchLoader:
 
 def _imagefolder_val_iter(root: str, input_size: int, worker_id: int,
                           num_workers: int):
+    from tae_tpu.data import native
     from tae_tpu.data.imagefolder import ImageFolder
 
+    if native.available():
+        # fused C++ decode for JPEGs (the ImageNet-val case); PIL fallback
+        # per file for other formats
+        ds = ImageFolder(root)
+        tf = center_crop_transform(input_size, pad=32)
+        for i in range(worker_id, len(ds.samples), num_workers):
+            path, target = ds.samples[i]
+            if path.suffix.lower() in (".jpg", ".jpeg"):
+                try:
+                    yield native.center_crop(path.read_bytes(), input_size), target
+                    continue
+                except ValueError:
+                    pass
+            img, _ = ImageFolder.__getitem__(ds, i)
+            yield tf(img), target
+        return
     ds = ImageFolder(root, transform=center_crop_transform(input_size, pad=32))
     yield from ds.iter_samples(worker_id, num_workers)
 

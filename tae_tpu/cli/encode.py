@@ -18,7 +18,9 @@ Like the reference, the default transform is the *train-style* random crop
 from __future__ import annotations
 
 import argparse
+import collections
 import functools
+import itertools
 import json
 import time
 from pathlib import Path
@@ -29,7 +31,7 @@ import numpy as np
 
 from tae_tpu.ckpt.io import load_params
 from tae_tpu.cli import _common
-from tae_tpu.data.loader import BatchLoader
+from tae_tpu.data.loader import BatchLoader, device_prefetch
 from tae_tpu.data.tar_stream import ShardSpec, WebDatasetReader, decode_jpg_cls
 from tae_tpu.data.transforms import center_crop_transform, random_resized_crop_transform
 from tae_tpu.parallel import batch_sharding, shard_params
@@ -56,6 +58,14 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_normalize", action="store_true",
                    help="ship uint8 pixels and normalize on device (4x "
                         "smaller H2D copies; needs the native decoder)")
+    p.add_argument("--patch_layout", action="store_true",
+                   help="native decoder writes pre-patchified (N, C*p*p) "
+                        "batches so patch embedding is a pure matmul with "
+                        "zero on-device relayout")
+    p.add_argument("--quantization", default=None, choices=["int8"],
+                   help="opt-in w8a8 int8 serving path (fused Pallas block "
+                        "kernels; +25-47%% measured encode throughput, "
+                        "latent rel err ~3e-2 vs bf16)")
     _common.add_tpu_args(p)
     return p
 
@@ -79,6 +89,7 @@ def _encode_iter(path: str, input_size: int, deterministic: bool, seed: int,
 
 def _encode_iter_batched(path: str, input_size: int, deterministic: bool,
                          seed: int, batch_size: int, u8: bool,
+                         patch_size: int,
                          worker_id: int, num_workers: int):
     """Native batched path: raw tar bytes -> fused C++ decode_batch straight
     into the batch buffer (no per-sample arrays, no np.stack collate — the
@@ -121,7 +132,7 @@ def _encode_iter_batched(path: str, input_size: int, deterministic: bool,
             return None
         decode = native.decode_batch_u8 if u8 else native.decode_batch
         imgs = decode(keep_d, boxes[:len(keep_d)], flips[:len(keep_d)],
-                      input_size, threads=threads)
+                      input_size, threads=threads, patch_size=patch_size)
         return imgs, np.asarray(keep_c, np.int32)
 
     datas: list[bytes] = []
@@ -145,20 +156,21 @@ def _encode_iter_batched(path: str, input_size: int, deterministic: bool,
 
 def make_encode_loader(data_path: str, input_size: int, deterministic: bool,
                        seed: int, batch_size: int, num_workers: int,
-                       u8: bool = False) -> BatchLoader:
+                       u8: bool = False, patch_size: int = 0) -> BatchLoader:
     """Loader for the tokenization input path: native batched decode when
-    libtaedata is available, per-sample PIL otherwise."""
+    libtaedata is available, per-sample PIL otherwise. ``patch_size > 0``
+    emits pre-patchified (N, C·p²) batches (extract_patches layout)."""
     from tae_tpu.data import native
 
     if native.available():
         make_iter = functools.partial(_encode_iter_batched, data_path,
                                       input_size, deterministic, seed,
-                                      batch_size, u8)
+                                      batch_size, u8, patch_size)
         return BatchLoader(make_iter, batch_size, num_workers=num_workers,
                            prebatched=True)
-    if u8:
-        raise ValueError("--device_normalize requires the native decoder "
-                         "(build with native/build.sh)")
+    if u8 or patch_size:
+        raise ValueError("--device_normalize/--patch_layout require the "
+                         "native decoder (build with native/build.sh)")
     make_iter = functools.partial(_encode_iter, data_path, input_size,
                                   deterministic, seed)
     return BatchLoader(make_iter, batch_size, num_workers=num_workers)
@@ -215,12 +227,20 @@ def main(args) -> dict:
     if args.model_ckpt:
         params = load_params(args.model_ckpt, model, params)
         print(f"Loaded checkpoint {args.model_ckpt}")
+    if args.quantization == "int8":
+        from tae_tpu.ops.int8 import quantize_params, unstack_blocks
+
+        params = jax.jit(quantize_params)(params)
+        params = unstack_blocks(params)
 
     def encode_step(p, x):
         if x.dtype == jnp.uint8:
-            from tae_tpu.data.transforms import device_normalize
+            from tae_tpu.data.transforms import (device_normalize,
+                                                 device_normalize_patches)
 
-            x = device_normalize(x, policy.compute_dtype)
+            x = (device_normalize(x, policy.compute_dtype) if x.ndim == 4
+                 else device_normalize_patches(x, model.cfg.patch_size,
+                                               policy.compute_dtype))
         return model.forward_encoder(p, x, policy=policy,
                                      backend=args.attn_backend)
 
@@ -229,18 +249,29 @@ def main(args) -> dict:
     loader = make_encode_loader(args.data_path, args.input_size,
                                 args.deterministic, args.seed,
                                 args.batch_size, args.num_workers,
-                                u8=args.device_normalize)
+                                u8=args.device_normalize,
+                                patch_size=(model.cfg.patch_size
+                                            if args.patch_layout else 0))
     data_shard = batch_sharding(mesh)
 
     writer = ShardWriter(Path(args.output_dir), args.save_prefix, args.shard_size)
     t0 = time.time()
     n_imgs = 0
+
+    # async H2D prefetch: the device_put of batch k+1/k+2 overlaps the
+    # encode of batch k (metadata rides a host-side deque in lockstep)
+    meta_q: collections.deque = collections.deque()
+
+    def host_imgs():
+        for imgs, targets in itertools.islice(loader, args.num_iters):
+            padded, n = _common.pad_batch(imgs, args.batch_size)
+            meta_q.append((np.asarray(targets), n))
+            yield padded
+
     pending = None  # overlap D2H of batch k with compute of batch k+1
-    for it, (imgs, targets) in enumerate(loader):
-        if it == args.num_iters:
-            break
-        padded, n = _common.pad_batch(imgs, args.batch_size)
-        z = encode_fn(params, jax.device_put(padded, data_shard))
+    for it, dev_imgs in enumerate(device_prefetch(host_imgs(), data_shard)):
+        targets, n = meta_q.popleft()
+        z = encode_fn(params, dev_imgs)
         if pending is not None:
             zz, tt, nn = pending
             writer.add(np.asarray(zz)[:nn].astype(np.float16), tt)

@@ -138,11 +138,11 @@ def main(args) -> None:
         make_iter = functools.partial(_latent_iter, args.latents_path, args.seed)
         loader = BatchLoader(make_iter, args.batch_size * args.accum_iter,
                              num_workers=args.num_workers, drop_last=True)
-        data_shard = batch_sharding(mesh, ndim=3)
+        data_shard = batch_sharding(mesh)
     else:
         loader = _common.wds_train_loader(args, args.batch_size * args.accum_iter)
         data_shard = batch_sharding(mesh)
-    target_shard = batch_sharding(mesh, ndim=1)
+    target_shard = batch_sharding(mesh)
 
     def batches():
         for imgs, targets in loader:

@@ -141,7 +141,7 @@ def main(args) -> None:
 
     collate = mixup_cutmix_collate(args.num_classes, seed=args.seed)
     data_shard = batch_sharding(mesh)
-    soft_shard = batch_sharding(mesh, ndim=2)
+    soft_shard = batch_sharding(mesh)
 
     best_eval_acc1 = 0.0
     print("Starting training!")

@@ -158,7 +158,7 @@ def main(args) -> None:
         return jnp.argmax(out["out"], axis=1)
 
     data_shard = batch_sharding(mesh)
-    mask_shard = batch_sharding(mesh, ndim=3)
+    mask_shard = batch_sharding(mesh)
 
     for epoch in range(start_epoch, args.epochs):
         make_iter = functools.partial(

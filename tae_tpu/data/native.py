@@ -50,20 +50,20 @@ def _load():
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     lib.tae_decode_batch.restype = ctypes.c_int
     lib.tae_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     lib.tae_decode_batch_u8.restype = ctypes.c_int
     lib.tae_decode_batch_u8.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte)]
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
     _lib = lib
     return lib
 
@@ -83,14 +83,16 @@ def jpeg_size(data: bytes) -> tuple[int, int]:
 
 def decode_to_tensor(data: bytes, box: tuple[float, float, float, float],
                      out_size: int, filter: int = BICUBIC, hflip: bool = False,
-                     mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
-    """Fused decode+crop+resize+normalize -> (3, out, out) float32."""
+                     mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                     patch_size: int = 0) -> np.ndarray:
+    """Fused decode+crop+resize+normalize -> (3, out, out) float32
+    (``patch_size > 0``: pre-patchified (N, C·p²) extract_patches layout)."""
     lib = _load()
-    out = np.empty((3, out_size, out_size), np.float32)
+    out = np.empty(_out_shape(1, out_size, patch_size)[1:], np.float32)
     rc = lib.tae_decode_to_tensor(
         data, len(data), box[0], box[1], box[2], box[3], out_size, filter,
         _fvec(mean), _fvec(std), int(hflip),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), patch_size)
     if rc != 0:
         raise ValueError(f"native decode failed (rc={rc})")
     return out
@@ -124,13 +126,23 @@ def center_crop(data: bytes, size: int, pad: int = 32, filter: int = BICUBIC,
     return decode_to_tensor(data, box, size, filter=filter, mean=mean, std=std)
 
 
+def _out_shape(n: int, out_size: int, patch_size: int) -> tuple[int, ...]:
+    if patch_size:
+        grid = out_size // patch_size
+        return (n, grid * grid, 3 * patch_size * patch_size)
+    return (n, 3, out_size, out_size)
+
+
 def decode_batch(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
                  out_size: int, filter: int = BICUBIC, threads: int = 0,
-                 mean=IMAGENET_MEAN, std=IMAGENET_STD) -> np.ndarray:
+                 mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                 patch_size: int = 0) -> np.ndarray:
     """Batched fused decode over the C++ thread pool.
 
     boxes: (N, 4) float32 source boxes; hflips: (N,) int32.
-    threads=0 uses os.cpu_count().
+    threads=0 uses os.cpu_count(). ``patch_size > 0`` writes pre-patchified
+    (N, C·p²) extract_patches layout — the device-side patch embedding
+    becomes a pure matmul with zero relayout.
     """
     lib = _load()
     n = len(datas)
@@ -138,39 +150,40 @@ def decode_batch(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
     arr_len = (ctypes.c_size_t * n)(*[len(d) for d in datas])
     boxes = np.ascontiguousarray(boxes, np.float32)
     hflips = np.ascontiguousarray(hflips, np.int32)
-    out = np.empty((n, 3, out_size, out_size), np.float32)
+    out = np.empty(_out_shape(n, out_size, patch_size), np.float32)
     threads = threads or (os.cpu_count() or 1)
     failed = lib.tae_decode_batch(
         arr_data, arr_len,
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         hflips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n, out_size, filter, _fvec(mean), _fvec(std), threads,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), patch_size)
     if failed:
         raise ValueError(f"native batch decode: {failed}/{n} images failed")
     return out
 
 
 def decode_batch_u8(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
-                    out_size: int, filter: int = BICUBIC, threads: int = 0
-                    ) -> np.ndarray:
+                    out_size: int, filter: int = BICUBIC, threads: int = 0,
+                    patch_size: int = 0) -> np.ndarray:
     """Batched fused decode to uint8 CHW (no normalization) — pairs with
     on-device normalization (tae_tpu.data.transforms.device_normalize): 4x
-    smaller host->device copies and PIL-exact uint8 rounding semantics."""
+    smaller host->device copies and PIL-exact uint8 rounding semantics.
+    ``patch_size > 0`` emits extract_patches layout (see decode_batch)."""
     lib = _load()
     n = len(datas)
     arr_data = (ctypes.c_char_p * n)(*datas)
     arr_len = (ctypes.c_size_t * n)(*[len(d) for d in datas])
     boxes = np.ascontiguousarray(boxes, np.float32)
     hflips = np.ascontiguousarray(hflips, np.int32)
-    out = np.empty((n, 3, out_size, out_size), np.uint8)
+    out = np.empty(_out_shape(n, out_size, patch_size), np.uint8)
     threads = threads or (os.cpu_count() or 1)
     failed = lib.tae_decode_batch_u8(
         arr_data, arr_len,
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         hflips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n, out_size, filter, threads,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), patch_size)
     if failed:
         raise ValueError(f"native batch decode: {failed}/{n} images failed")
     return out

@@ -61,6 +61,19 @@ def device_normalize(x, dtype=None, mean=IMAGENET_MEAN, std=IMAGENET_STD):
     return (x.astype(dtype) - mean) * inv
 
 
+def device_normalize_patches(x, patch_size: int, dtype=None,
+                             mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """On-device normalize for pre-patchified uint8 (…, N, C·p²) batches in
+    extract_patches layout (channel-major per patch)."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    p2 = patch_size * patch_size
+    mean = jnp.repeat(jnp.asarray(mean, dtype), p2) * 255.0
+    inv = 1.0 / (jnp.repeat(jnp.asarray(std, dtype), p2) * 255.0)
+    return (x.astype(dtype) - mean) * inv
+
+
 def _sample_rrc_box(rng: np.random.Generator, width: int, height: int,
                     scale: tuple[float, float], ratio: tuple[float, float]
                     ) -> tuple[int, int, int, int]:

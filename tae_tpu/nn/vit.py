@@ -319,6 +319,12 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
                  unroll: bool = False) -> jnp.ndarray:
     """Apply a depth-stacked block stack with ``lax.scan``.
 
+    ``stacked`` may instead be a list of per-layer param trees (the serving
+    layout produced by ``tae_tpu.ops.int8.quantize_params(unstack=True)``):
+    then the loop is plain Python and each layer's weights are root buffers
+    — no per-layer dynamic-slice copies of the stacked arrays, which
+    profiled at ~8% of int8 encode (Pallas operands cannot alias a slice).
+
     ``remat=True`` wraps each layer in ``jax.checkpoint`` so the backward pass
     rematerializes activations instead of storing depth × (B, N, 4d) — the
     TPU-idiomatic HBM/FLOPs trade for the 2.5B+ configs.
@@ -328,6 +334,10 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
     per-layer weight relayout copies persist either way — so it stays off by
     default; exposed for experimentation on other topologies.
     """
+    if isinstance(stacked, (list, tuple)):
+        for layer in stacked:
+            x = block_apply(layer, x, cfg, backend=backend)
+        return x
     fn = lambda carry, layer: (block_apply(layer, carry, cfg, backend=backend), None)
     if remat:
         fn = jax.checkpoint(fn, prevent_cse=False)

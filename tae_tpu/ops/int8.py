@@ -53,12 +53,15 @@ def int8_linear_xla(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 
 
 def _block(dim: int, cap: int) -> int:
-    """Largest power-of-two-ish cap that divides dim (for N blocks, where
-    ~512 lanes is the sweet spot)."""
-    b = cap
-    while dim % b:
-        b //= 2
-    return max(b, 1)
+    """Largest lane-valid block <= cap that divides dim: Mosaic requires the
+    last block dim to be a multiple of 128 or equal to the full array dim
+    (caught by a real-TPU drive of a tiny model: dim 192 used to pick 64)."""
+    b = (cap // 128) * 128
+    while b >= 128:
+        if dim % b == 0:
+            return b
+        b -= 128
+    return dim
 
 
 def _block_k(dim: int, cap: int = 4096) -> int:
@@ -67,7 +70,7 @@ def _block_k(dim: int, cap: int = 4096) -> int:
     b = dim
     while b > cap and b % 2 == 0:
         b //= 2
-    if b <= cap and dim % b == 0:
+    if b <= cap and dim % b == 0 and (b == dim or b % 128 == 0):
         return b
     return _block(dim, cap)
 
@@ -124,6 +127,28 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     if pad:
         y = y[:m]
     return y.reshape(*lead, n)
+
+
+def unstack_blocks(params: Params, key: str = "blocks") -> Params:
+    """Rewrite every depth-stacked ``blocks`` sub-tree into a list of
+    per-layer trees (serving layout: each layer's weights become root
+    buffers, so the scan's per-layer dynamic-slice copies — which Pallas
+    operands cannot alias, profiled ~8% of int8 encode — disappear;
+    ``tae_tpu.nn.vit.blocks_apply`` accepts both layouts)."""
+    def walk(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == key and isinstance(v, dict):
+                    depth = jax.tree.leaves(v)[0].shape[0]
+                    out[k] = [jax.tree.map(lambda x, i=i: x[i], v)
+                              for i in range(depth)]
+                else:
+                    out[k] = walk(v)
+            return out
+        return node
+
+    return walk(params)
 
 
 def quantize_params(params: Params, skip: tuple[str, ...] = ("patch_embed",)

@@ -124,10 +124,13 @@ def _mlp_kernel(xq_ref, sx_ref, w1_ref, sw1_ref, b1_ref, w2_ref,
 
 
 def _divisor_block(dim: int, cap: int) -> int:
-    b = cap
-    while dim % b:
-        b //= 2
-    return max(b, 1)
+    """Largest lane-valid (multiple-of-128 or whole-dim) divisor <= cap."""
+    b = (cap // 128) * 128
+    while b >= 128:
+        if dim % b == 0:
+            return b
+        b -= 128
+    return dim
 
 
 def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
@@ -150,12 +153,16 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
     hdim = w1_q.shape[1]
     # measured on v5e (batch-128 encode): bm 256 > 128 (+4% p64) since weight
     # blocks re-stream once per M block; bh 1024 > 512 (+2%: half the
-    # accumulator-update passes). Small-d models have VMEM room for bm 512.
+    # accumulator-update passes) at M >= 2048 — but at M <= 1024 (the p128
+    # N=4 regime) bh 1024 overflows Mosaic's scoped-VMEM accounting in the
+    # unstacked-weights graph AND bh 512 is outright faster (14.3k vs the
+    # 11.6k best bh-1024-compatible config). Small-d models fit bm 512.
     if block_m is None:
         block_m = int(os.environ.get("TAE_TPU_INT8_MLP_BM",
                                      "512" if d <= 1024 else "256"))
     if block_h is None:
-        block_h = int(os.environ.get("TAE_TPU_INT8_MLP_BH", "1024"))
+        block_h = int(os.environ.get("TAE_TPU_INT8_MLP_BH",
+                                     "512" if m <= 1024 else "1024"))
     bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
     bh = _divisor_block(hdim, block_h)
     pad = (-m) % bm

@@ -101,10 +101,12 @@ def shard_params(params: Params, mesh: Mesh) -> Params:
     return jax.tree.map(jax.device_put, params, shardings)
 
 
-def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Batch axis sharded over (data, fsdp) — fsdp behaves like extra data
-    parallelism for activations, as in standard ZeRO."""
-    return NamedSharding(mesh, P(("data", "fsdp"), *([None] * (ndim - 1))))
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch (leading) axis sharded over (data, fsdp) — fsdp behaves like
+    extra data parallelism for activations, as in standard ZeRO. Trailing
+    dims are left unspecified so the same sharding fits any input rank
+    (images, pre-patchified batches, latents, labels)."""
+    return NamedSharding(mesh, P(("data", "fsdp")))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -60,9 +60,13 @@ class Tokenizer:
             lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
             else x, params)
         if quantization == "int8":
-            from tae_tpu.ops.int8 import quantize_params
+            from tae_tpu.ops.int8 import quantize_params, unstack_blocks
 
             params = jax.jit(quantize_params)(params)
+            # serving layout: per-layer root buffers instead of depth-stacked
+            # scan operands (kills the per-layer dynamic-slice copies Pallas
+            # can't alias — measured +10-16% encode; see docs/KERNELS.md)
+            params = unstack_blocks(params)
         elif quantization is not None:
             raise ValueError(f"unknown quantization mode {quantization!r}")
         return cls(model=model, params=params,
@@ -73,12 +77,16 @@ class Tokenizer:
 
         def enc(p, x):
             if x.dtype == jnp.uint8:
-                # raw uint8 CHW pixels (native decode_batch_u8 path): fold
+                # raw uint8 pixels (native decode_batch_u8 path): fold
                 # ToTensor+Normalize on device — 4x smaller H2D copies, and
-                # XLA fuses the normalize into the patch-embed read
-                from tae_tpu.data.transforms import device_normalize
+                # XLA fuses the normalize into the patch-embed read. 3-dim
+                # input is the pre-patchified (N, C·p²) layout.
+                from tae_tpu.data.transforms import (device_normalize,
+                                                     device_normalize_patches)
 
-                x = device_normalize(x, pol.compute_dtype)
+                x = (device_normalize(x, pol.compute_dtype) if x.ndim == 4
+                     else device_normalize_patches(x, m.cfg.patch_size,
+                                                   pol.compute_dtype))
             return m.forward_encoder(p, x, policy=pol)
 
         self._encode = jax.jit(enc)

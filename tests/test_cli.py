@@ -114,6 +114,34 @@ def test_encode_cli_streams_sharded_output(data, tmp_path):
     assert z["targets"].shape == (32,)
 
 
+def test_encode_cli_serving_config(data, tmp_path):
+    """The full serving stack through the CLI: int8 w8a8 quantization +
+    unstacked blocks + uint8 device-normalize + pre-patchified layout."""
+    from tae_tpu.cli import encode as cli_encode
+    from tae_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    out = tmp_path / "enc8"
+    out.mkdir()
+    args = cli_encode.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size", "16",
+        "--num_iters", "100", "--num_workers", "0",
+        "--shard_size", "64",
+        "--quantization", "int8", "--device_normalize", "--patch_layout",
+        "--data_path", str(data / "train-{000000..000001}.tar"),
+        "--output_dir", str(out), "--save_prefix", "tok8",
+    ])
+    stats = cli_encode.main(args)
+    assert stats["num_samples"] == 80
+    index = json.loads((out / "tok8_index.json").read_text())
+    assert index["num_samples"] == 80
+    z = np.load(out / index["shards"][0]["path"])
+    assert z["latents"].shape == (64, 16, 16)
+    assert np.isfinite(z["latents"]).all()
+
+
 def test_train_cli_resume_auto(data, tmp_path):
     """Preemption-safe resume: second invocation continues from the saved
     iteration with restored optimizer state."""

@@ -314,3 +314,80 @@ def test_tokenizer_accepts_uint8_batches():
     f = normalize(u8.astype(np.float32) / 255.0)
     zf = np.asarray(tok.encode(f), np.float32)
     np.testing.assert_allclose(z8, zf, atol=1e-4, rtol=1e-4)
+
+
+def test_native_patch_layout_matches_extract_patches(tmp_path):
+    """patch_size>0 decode emits exactly extract_patches' layout, f32+u8."""
+    import io
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tae_tpu.data import native
+    from tae_tpu.ops.patchify import extract_patches
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=95)
+    data = buf.getvalue()
+    boxes = np.asarray([[0, 0, 128, 96], [5, 5, 120, 90]], np.float32)
+    flips = np.asarray([0, 1], np.int32)
+    chw = native.decode_batch([data] * 2, boxes, flips, 64, threads=1)
+    pat = native.decode_batch([data] * 2, boxes, flips, 64, threads=1,
+                              patch_size=16)
+    np.testing.assert_array_equal(
+        pat, np.asarray(extract_patches(jnp.asarray(chw), 16)))
+    u8c = native.decode_batch_u8([data] * 2, boxes, flips, 64, threads=1)
+    u8p = native.decode_batch_u8([data] * 2, boxes, flips, 64, threads=1,
+                                 patch_size=16)
+    np.testing.assert_array_equal(
+        u8p, np.asarray(extract_patches(jnp.asarray(u8c.astype(np.int32)),
+                                        16)).astype(np.uint8))
+
+
+def test_encoder_accepts_prepatchified_input():
+    """forward_encoder((B, N, C·p²)) == forward_encoder((B, C, H, W))."""
+    import jax
+    import jax.numpy as jnp
+
+    from tae_tpu.models.tae import TAE, TAEConfig
+    from tae_tpu.ops.patchify import extract_patches
+    from tae_tpu.utils.dtypes import FP32
+
+    model = TAE(TAEConfig(img_size=32, patch_size=16, embed_dim=64, depth=2,
+                          num_heads=4, decoder_embed_dim=64, decoder_depth=2,
+                          decoder_num_heads=4, vocab_size=16))
+    params = model.init(jax.random.key(0))
+    imgs = jax.random.normal(jax.random.key(1), (2, 3, 32, 32))
+    z_img = model.forward_encoder(params, imgs, policy=FP32)
+    z_pat = model.forward_encoder(params, extract_patches(imgs, 16),
+                                  policy=FP32)
+    np.testing.assert_allclose(np.asarray(z_pat), np.asarray(z_img),
+                               atol=1e-6, rtol=1e-6)
+    with pytest.raises(ValueError, match="pre-patchified"):
+        model.forward_encoder(params, jnp.zeros((2, 4, 99)), policy=FP32)
+
+
+def test_unstacked_blocks_match_scanned():
+    import jax
+
+    from tae_tpu.models.tae import TAE, TAEConfig
+    from tae_tpu.ops.int8 import quantize_params, unstack_blocks
+    from tae_tpu.utils.dtypes import FP32
+
+    model = TAE(TAEConfig(img_size=32, patch_size=16, embed_dim=64, depth=3,
+                          num_heads=4, decoder_embed_dim=64, decoder_depth=2,
+                          decoder_num_heads=4, vocab_size=16))
+    params = quantize_params(model.init(jax.random.key(0)))
+    unstacked = unstack_blocks(params)
+    assert isinstance(unstacked["encoder"]["blocks"], list)
+    assert len(unstacked["encoder"]["blocks"]) == 3
+    assert len(unstacked["decoder"]["blocks"]) == 2
+    imgs = jax.random.normal(jax.random.key(1), (2, 3, 32, 32))
+    z1 = model.forward_encoder(params, imgs, policy=FP32)
+    z2 = model.forward_encoder(unstacked, imgs, policy=FP32)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(z1),
+                               atol=1e-6, rtol=1e-6)

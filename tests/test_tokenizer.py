@@ -126,14 +126,16 @@ def test_int8_quantized_encode_close_to_fp():
     tok8 = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
                                      dtype=jnp.float32, quantization="int8",
                                      **TINY)
-    # quantized tree has int8 weights everywhere — including the
-    # depth-stacked (depth, in, out) transformer block linears
+    # quantized tree has int8 weights everywhere, and the blocks are in the
+    # serving layout (per-layer list, not depth-stacked scan operands)
     leaves = jax.tree.leaves(tok8.params)
     assert any(l.dtype == jnp.int8 for l in leaves)
-    blk = tok8.params["encoder"]["blocks"]
+    blocks = tok8.params["encoder"]["blocks"]
+    assert isinstance(blocks, list)
+    blk = blocks[0]
     assert blk["mlp"]["fc1"]["w_q"].dtype == jnp.int8
-    assert blk["mlp"]["fc1"]["w_scale"].ndim == 2  # (depth, hidden)
-    assert blk["attn"]["qkv"]["w_q"].ndim == 3
+    assert blk["mlp"]["fc1"]["w_scale"].ndim == 1  # (hidden,)
+    assert blk["attn"]["qkv"]["w_q"].ndim == 2
     imgs = np.random.default_rng(1).standard_normal((2, 3, 64, 64)).astype(np.float32)
     z = np.asarray(tok.encode(imgs), np.float32)
     z8 = np.asarray(tok8.encode(imgs), np.float32)
