@@ -38,7 +38,7 @@ ENCODE_CONFIGS = [
     ("encode_p16_int8_b128", "tae_patch16_vocab256_px256", 128, True, True),
     ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, False, False),
     ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True, True),
-    ("encode_p128_bf16_b512", "tae_patch128_vocab4096_px256", 512, False, True),
+    ("encode_p128_bf16_b1024", "tae_patch128_vocab4096_px256", 1024, False, True),
     ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True, True),
 ]
 

@@ -142,6 +142,28 @@ def test_encode_cli_serving_config(data, tmp_path):
     assert np.isfinite(z["latents"]).all()
 
 
+def test_encode_cli_int8_sharded_mesh(data, tmp_path):
+    """int8 serving layout composes with a multi-device (data, fsdp) mesh:
+    quantize -> unstack on sharded params, batch sharded over 8 devices."""
+    from tae_tpu.cli import encode as cli_encode
+
+    out = tmp_path / "enc8m"
+    out.mkdir()
+    args = cli_encode.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size", "16",
+        "--num_iters", "2", "--num_workers", "0",
+        "--shard_size", "32", "--mesh_fsdp", "2",
+        "--quantization", "int8",
+        "--data_path", str(data / "train-000000.tar"),
+        "--output_dir", str(out), "--save_prefix", "tokm",
+    ])
+    stats = cli_encode.main(args)
+    assert stats["num_samples"] == 32
+    z = np.load(out / "tokm_latents-000000.npz")
+    assert np.isfinite(z["latents"]).all()
+
+
 def test_train_cli_resume_auto(data, tmp_path):
     """Preemption-safe resume: second invocation continues from the saved
     iteration with restored optimizer state."""
