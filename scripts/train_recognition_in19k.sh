@@ -31,6 +31,7 @@ python -m tae_tpu.cli.train_recognition_in19k \
   --model "${MODEL}" \
   --encoder "${ENCODER}" \
   --encoder_ckpt "${ENCODER_CKPT}" \
+  ${ENCODER_QUANT:+--encoder_quantization "${ENCODER_QUANT}"} \
   --num_classes 19167 \
   --batch_size 896 \
   --input_size 256 \

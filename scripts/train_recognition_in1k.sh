@@ -17,6 +17,7 @@ python -m tae_tpu.cli.train_recognition_in1k \
   --model_ckpt "${MODEL_CKPT}" \
   --encoder "${ENCODER}" \
   --encoder_ckpt "${ENCODER_CKPT}" \
+  ${ENCODER_QUANT:+--encoder_quantization "${ENCODER_QUANT}"} \
   --num_classes 1000 \
   --epochs 100 \
   --batch_size 256 \

@@ -16,6 +16,7 @@ python -m tae_tpu.cli.train_segmentation \
   --model "${MODEL}" \
   --encoder "${ENCODER}" \
   --encoder_ckpt "${ENCODER_CKPT}" \
+  ${ENCODER_QUANT:+--encoder_quantization "${ENCODER_QUANT}"} \
   --batch_size_per_gpu 8 \
   --epochs 30 \
   --lr 0.01 \

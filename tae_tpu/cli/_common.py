@@ -47,6 +47,21 @@ def build_mesh(args):
     return make_mesh(data=-1, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
 
 
+def maybe_quantize_encoder(enc_params, mode: str | None):
+    """Frozen-encoder stages are pure inference: ``mode == "int8"`` rewrites
+    the params to the w8a8 serving layout (quantized + per-layer unstacked;
+    +34-84% measured encoder throughput, latent rel err ~3e-2 vs bf16)."""
+    if mode is None:
+        return enc_params
+    if mode != "int8":
+        raise ValueError(f"unknown encoder quantization {mode!r}")
+    import jax
+
+    from tae_tpu.ops.int8 import quantize_params, unstack_blocks
+
+    return unstack_blocks(jax.jit(quantize_params)(enc_params))
+
+
 def build_model(name: str, model_args: str = "", **kwargs):
     if model_args:
         import json

@@ -222,7 +222,12 @@ def main(args) -> dict:
     model = _common.build_model(args.model, model_args=args.model_args)
     policy = Policy()
 
-    params = jax.jit(lambda k: model.init(k))(jax.random.key(args.seed))
+    # inference-only driver: hold params in the compute dtype (bf16) — fp32
+    # masters would put the 3.4B p64 config at 13.5GB of the chip's 16GB
+    # HBM before activations (caught by an on-TPU end-to-end run)
+    params = jax.jit(
+        lambda k: model.init(k, dtype=policy.compute_dtype))(
+            jax.random.key(args.seed))
     params = shard_params(params, mesh)
     if args.model_ckpt:
         params = load_params(args.model_ckpt, model, params)
@@ -230,8 +235,7 @@ def main(args) -> dict:
     if args.quantization == "int8":
         from tae_tpu.ops.int8 import quantize_params, unstack_blocks
 
-        params = jax.jit(quantize_params)(params)
-        params = unstack_blocks(params)
+        params = unstack_blocks(jax.jit(quantize_params)(params))
 
     def encode_step(p, x):
         if x.dtype == jnp.uint8:

@@ -47,6 +47,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder_ckpt", default="", type=str)
     p.add_argument("--encoder_args", default="", type=str,
                    help="JSON overrides for the encoder factory")
+    p.add_argument("--encoder_quantization", default=None, choices=["int8"],
+                   help="run the frozen encoder in the int8 w8a8 serving "
+                        "layout (latent rel err ~3e-2 vs bf16)")
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--max_lr", type=float, default=1e-4)
     p.add_argument("--min_lr", type=float, default=1e-5)
@@ -98,6 +101,8 @@ def main(args) -> None:
         enc_params = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, enc_params)
+        enc_params = _common.maybe_quantize_encoder(
+            enc_params, args.encoder_quantization)
 
     opt = adamw(weight_decay=args.weight_decay)
     state = TrainState.create(params, opt)

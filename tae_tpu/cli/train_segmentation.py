@@ -44,6 +44,9 @@ def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
     p.add_argument("--encoder", default="", type=str)
     p.add_argument("--encoder_ckpt", default="", type=str)
     p.add_argument("--encoder_args", default="", type=str)
+    p.add_argument("--encoder_quantization", default=None, choices=["int8"],
+                   help="run the frozen encoder in the int8 w8a8 serving "
+                        "layout (latent rel err ~3e-2 vs bf16)")
     p.add_argument("--aux_loss", action="store_true",
                    help="accepted for compatibility; the model always has an "
                         "aux head and the criterion always adds 0.5*aux")
@@ -124,6 +127,8 @@ def main(args) -> None:
     enc_params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating)
         else x, enc_params)
+    enc_params = _common.maybe_quantize_encoder(
+        enc_params, args.encoder_quantization)
     enc_policy = Policy(param_dtype=jnp.bfloat16)
 
     opt = adamw(weight_decay=args.weight_decay)

@@ -152,17 +152,28 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
     m, d = xq.shape
     hdim = w1_q.shape[1]
     # measured on v5e (batch-128 encode): bm 256 > 128 (+4% p64) since weight
-    # blocks re-stream once per M block; bh 1024 > 512 (+2%: half the
-    # accumulator-update passes) at M >= 2048 — but at M <= 1024 (the p128
-    # N=4 regime) bh 1024 overflows Mosaic's scoped-VMEM accounting in the
-    # unstacked-weights graph AND bh 512 is outright faster (14.3k vs the
-    # 11.6k best bh-1024-compatible config). Small-d models fit bm 512.
+    # blocks re-stream once per M block; bigger bh halves accumulator-update
+    # passes — but the kernel's VMEM footprint must stay under Mosaic's 16M
+    # scoped limit, and the boundary is graph-dependent (d=2560 with bh 1024
+    # compiled inside fori_loop benches yet overflowed by ~1M in the plain
+    # encode-CLI jit AND in unstacked graphs). The analytic footprint below
+    # reproduces every observed pass/fail with a 16M budget, and at d=2560
+    # the halved bh is within 0.6% of bh 1024 anyway (4864 vs 4893 p64) —
+    # while at M<=1024 it is outright faster (p128 14.3k vs 11.6k).
+    # Small-d models fit bm 512.
     if block_m is None:
         block_m = int(os.environ.get("TAE_TPU_INT8_MLP_BM",
                                      "512" if d <= 1024 else "256"))
-    if block_h is None:
-        block_h = int(os.environ.get("TAE_TPU_INT8_MLP_BH",
-                                     "512" if m <= 1024 else "1024"))
+    env_bh = os.environ.get("TAE_TPU_INT8_MLP_BH")
+    if block_h is None and env_bh:
+        block_h = int(env_bh)
+    elif block_h is None:
+        block_h = 1024
+        bm_est = min(block_m, m)
+        vmem = lambda bh: (14 * bm_est * d + 4 * d * bh  # noqa: E731
+                           + 1024 * bm_est + 128 * (bh + d))
+        while block_h > 128 and vmem(block_h) > 16 * 1024 * 1024:
+            block_h //= 2
     bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
     bh = _divisor_block(hdim, block_h)
     pad = (-m) % bm

@@ -85,6 +85,7 @@ def test_in19k_cli_end_to_end(tmp_path):
         "--model_args", CLS_ARGS,
         "--encoder", "tae_patch16_vocab16_px256",
         "--encoder_args", ENC_ARGS,
+        "--encoder_quantization", "int8",  # frozen stage in serving layout
         "--num_classes", "7",
         "--input_size", "64", "--batch_size", "8",
         "--num_its", "7", "--save_freq", "5", "--num_workers", "0",
