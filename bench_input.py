@@ -71,17 +71,27 @@ def measure(path: str, input_size: int, num_workers: int, max_samples: int,
             batch_size: int = 256) -> dict:
     from tae_tpu.cli.encode import make_encode_loader
 
-    loader = make_encode_loader(path, input_size, deterministic=False, seed=0,
-                                batch_size=batch_size, num_workers=num_workers)
-    n = 0
-    t0 = None
-    for imgs, _ in loader:
-        if t0 is None:  # skip worker spin-up for the first batch
-            t0 = time.perf_counter()
-            continue
-        n += imgs.shape[0]
-        if n >= max_samples:
-            break
+    if num_workers == 0:
+        # the inline loader would otherwise fan the C++ decode pool across
+        # every host core, making "per-core" rate the all-core aggregate
+        os.environ["TAE_TPU_DECODE_THREADS"] = "1"
+    try:
+        loader = make_encode_loader(path, input_size, deterministic=False,
+                                    seed=0, batch_size=batch_size,
+                                    num_workers=num_workers)
+        n = 0
+        t0 = None
+        for imgs, _ in loader:
+            if t0 is None:  # skip worker spin-up for the first batch
+                t0 = time.perf_counter()
+                continue
+            n += imgs.shape[0]
+            if n >= max_samples:
+                break
+        if t0 is None or n == 0:
+            raise ValueError(f"no data: {path!r} yielded fewer than 2 batches")
+    finally:
+        os.environ.pop("TAE_TPU_DECODE_THREADS", None)
     dt = time.perf_counter() - t0
     return {"samples": n, "seconds": round(dt, 3),
             "img_per_sec": round(n / max(dt, 1e-9), 1)}

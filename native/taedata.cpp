@@ -369,12 +369,14 @@ struct BatchItem {
 };
 
 // Batched fused decode over the thread pool. items laid out as parallel
-// arrays; outputs written to out_chw[(i) * 3 * out * out].
+// arrays; outputs written to out_chw[(i) * 3 * out * out]. status (may be
+// null) receives per-item 0=ok / 1=failed so callers can drop individual
+// undecodable images instead of aborting the batch; returns failed count.
 int tae_decode_batch(const uint8_t** datas, const size_t* lens,
                      const float* boxes, const int* hflips, int n,
                      int out_size, int filter, const float* mean,
                      const float* stdv, int threads, float* out_chw,
-                     int patch) {
+                     int patch, int* status) {
   Pool* p = get_pool(threads);
   std::atomic<int> done{0};
   std::atomic<int> failed{0};
@@ -388,6 +390,7 @@ int tae_decode_batch(const uint8_t** datas, const size_t* lens,
                                     boxes[i * 4 + 3], out_size, filter, mean,
                                     stdv, hflips[i], out_chw + i * stride,
                                     patch);
+      if (status) status[i] = rc != 0;
       if (rc != 0) failed.fetch_add(1);
       if (done.fetch_add(1) + 1 == n) {
         std::lock_guard<std::mutex> lk(mu);
@@ -404,7 +407,7 @@ int tae_decode_batch(const uint8_t** datas, const size_t* lens,
 int tae_decode_batch_u8(const uint8_t** datas, const size_t* lens,
                         const float* boxes, const int* hflips, int n,
                         int out_size, int filter, int threads,
-                        uint8_t* out_chw, int patch) {
+                        uint8_t* out_chw, int patch, int* status) {
   Pool* p = get_pool(threads);
   std::atomic<int> done{0};
   std::atomic<int> failed{0};
@@ -417,6 +420,7 @@ int tae_decode_batch_u8(const uint8_t** datas, const size_t* lens,
                                 boxes[i * 4 + 1], boxes[i * 4 + 2],
                                 boxes[i * 4 + 3], out_size, filter,
                                 hflips[i], out_chw + i * stride, patch);
+      if (status) status[i] = rc != 0;
       if (rc != 0) failed.fetch_add(1);
       if (done.fetch_add(1) + 1 == n) {
         std::lock_guard<std::mutex> lk(mu);

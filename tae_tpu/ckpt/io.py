@@ -55,9 +55,19 @@ def save_checkpoint(path: str | Path, tree: Any, *, step: int = 0,
     # renames, so a preemption at ANY point leaves a restorable checkpoint
     # (either `tree` or `tree.old`) — a crash mid-save must not destroy the
     # only checkpoint --resume_auto depends on (reference policy
-    # train.py:160-172).
-    if tmp_path.exists():
+    # train.py:160-172). All filesystem mutation of the shared directory
+    # happens on process 0 only, with barriers around it, so concurrent
+    # processes can neither race the stale-tmp cleanup nor start the next
+    # save's cleanup while process 0 is still mid-rename.
+    def _barrier(name: str) -> None:
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"tae_tpu_ckpt_{name}")
+
+    if jax.process_index() == 0 and tmp_path.exists():
         shutil.rmtree(tmp_path)  # partial leftover from an earlier crash
+    _barrier("pre_save")
     ckptr.save(tmp_path, tree)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
@@ -70,6 +80,7 @@ def save_checkpoint(path: str | Path, tree: Any, *, step: int = 0,
             shutil.rmtree(old_path)
         meta = {"step": int(step), "args": args or {}, **(extra or {})}
         (path / _META).write_text(json.dumps(meta, indent=2, default=str))
+    _barrier("post_swap")
 
 
 def load_checkpoint(path: str | Path, target: Any = None) -> tuple[Any, dict]:

@@ -149,9 +149,12 @@ def _imagefolder_val_iter(root: str, input_size: int, worker_id: int,
 def imagefolder_val_loader(root: str, input_size: int, batch_size: int,
                            num_workers: int = 0) -> BatchLoader:
     """The reference val pipeline (train.py:87-89): sequential ImageFolder,
-    Resize(+32)/CenterCrop/normalize."""
+    Resize(+32)/CenterCrop/normalize. ``rebatch`` keeps the dataset tail to
+    ONE partial batch across any worker count, preserving the reference's
+    mean-of-batch-means eval metric (train.py:220)."""
     make_iter = functools.partial(_imagefolder_val_iter, root, input_size)
-    return BatchLoader(make_iter, batch_size, num_workers=num_workers)
+    return BatchLoader(make_iter, batch_size, num_workers=num_workers,
+                       rebatch=num_workers > 0)
 
 
 def pad_batch(batch: np.ndarray, target: int) -> tuple[np.ndarray, int]:

@@ -103,8 +103,12 @@ def _encode_iter_batched(path: str, input_size: int, deterministic: bool,
                               shard_index=worker_id, shard_count=num_workers)
     rng = np.random.default_rng(seed + worker_id)
     # workers are single-core processes; only the inline (0-worker) loader
-    # should fan the C++ decode pool across all cores
-    threads = 0 if num_workers <= 1 else 1
+    # should fan the C++ decode pool across all cores. TAE_TPU_DECODE_THREADS
+    # pins the pool width (bench_input uses 1 for a true per-core rate).
+    import os as _os
+
+    threads = int(_os.environ.get("TAE_TPU_DECODE_THREADS",
+                                  "0" if num_workers <= 1 else "1"))
 
     def flush(datas: list[bytes], clss: list[int]):
         boxes = np.empty((len(datas), 4), np.float32)
@@ -131,9 +135,15 @@ def _encode_iter_batched(path: str, input_size: int, deterministic: bool,
         if not keep_d:
             return None
         decode = native.decode_batch_u8 if u8 else native.decode_batch
-        imgs = decode(keep_d, boxes[:len(keep_d)], flips[:len(keep_d)],
-                      input_size, threads=threads, patch_size=patch_size)
-        return imgs, np.asarray(keep_c, np.int32)
+        imgs, keep = decode(keep_d, boxes[:len(keep_d)], flips[:len(keep_d)],
+                            input_size, threads=threads,
+                            patch_size=patch_size, skip_failed=True)
+        cls_arr = np.asarray(keep_c, np.int32)
+        if keep is not None:  # drop the (rare) undecodable images' labels too
+            cls_arr = cls_arr[keep]
+        if not len(imgs):
+            return None
+        return imgs, cls_arr
 
     datas: list[bytes] = []
     clss: list[int] = []
@@ -238,13 +248,10 @@ def main(args) -> dict:
         params = unstack_blocks(jax.jit(quantize_params)(params))
 
     def encode_step(p, x):
-        if x.dtype == jnp.uint8:
-            from tae_tpu.data.transforms import (device_normalize,
-                                                 device_normalize_patches)
+        from tae_tpu.data.transforms import maybe_device_normalize
 
-            x = (device_normalize(x, policy.compute_dtype) if x.ndim == 4
-                 else device_normalize_patches(x, model.cfg.patch_size,
-                                               policy.compute_dtype))
+        x = maybe_device_normalize(x, model.cfg.patch_size,
+                                   policy.compute_dtype)
         return model.forward_encoder(p, x, policy=policy,
                                      backend=args.attn_backend)
 

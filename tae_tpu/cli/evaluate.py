@@ -89,18 +89,22 @@ def main(args) -> float:
     real_counts: collections.deque[int] = collections.deque()
 
     def padded_batches():
+        nonlocal samples_for_display
         for imgs, _ in loader:
             padded, n = _common.pad_batch(imgs, args.batch_size_per_gpu)
+            if samples_for_display is None:
+                # capture from the HOST batch: slicing the device-resident
+                # sharded array instead would be a D2H fetch of image data
+                # (KB/s-slow over a tunneled chip)
+                samples_for_display = np.asarray(imgs[:min(8, n)])
             real_counts.append(n)
             yield padded
 
     # data-sharded, double-buffered eval inputs (the reference DDP-wraps
     # eval, evaluate.py:73; unsharded inputs would replicate onto one chip)
-    for it, imgs in enumerate(device_prefetch(padded_batches(),
-                                              sharding=batch_sharding(mesh))):
+    for imgs in device_prefetch(padded_batches(),
+                                sharding=batch_sharding(mesh)):
         n = real_counts.popleft()
-        if it == 0:
-            samples_for_display = np.asarray(imgs[:min(8, n)])
         per, psnr, _ = per_sample_loss_and_pred(params, imgs)
         losses.append(float(np.asarray(per)[:n].mean()))
         psnrs.append(float(np.asarray(psnr)[:n].mean()))

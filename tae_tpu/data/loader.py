@@ -49,13 +49,21 @@ def batched(it: Iterable[Any], batch_size: int, drop_last: bool = False,
 
 
 def _worker_main(make_iter, worker_id: int, num_workers: int, batch_size: int,
-                 drop_last: bool, prebatched: bool, q: mp.Queue) -> None:
+                 drop_last: bool, prebatched: bool, rebatch: bool,
+                 q: mp.Queue) -> None:
     try:
         it = make_iter(worker_id, num_workers)
-        if not prebatched:
-            it = batched(it, batch_size, drop_last)
-        for batch in it:
-            q.put(("batch", batch))
+        if rebatch:
+            # ship uncollated sample chunks; the consumer assembles exact
+            # batches so the dataset tail is ONE partial batch, not one per
+            # worker (matters for mean-of-batch-means eval parity)
+            for chunk in batched(it, batch_size, collate=list):
+                q.put(("chunk", chunk))
+        else:
+            if not prebatched:
+                it = batched(it, batch_size, drop_last)
+            for batch in it:
+                q.put(("batch", batch))
         q.put(("end", worker_id))
     except KeyboardInterrupt:  # pragma: no cover
         pass
@@ -74,17 +82,26 @@ class BatchLoader:
     (e.g. the native ``decode_batch`` path, which decodes straight into the
     batch buffer — measured 1.7x the per-sample path, which loses ~40% of
     host time to the ``np.stack`` collate copy).
+
+    ``rebatch=True`` assembles exact-size batches on the consumer from
+    uncollated worker sample chunks, so a finite dataset ends in exactly ONE
+    partial batch instead of one per worker — required for the reference's
+    mean-of-batch-means eval metric (train.py:220) to be loader-invariant.
     """
 
     def __init__(self, make_iter: Callable[[int, int], Iterable[Any]],
                  batch_size: int, num_workers: int = 0, drop_last: bool = False,
-                 prefetch_batches: int = 4, prebatched: bool = False):
+                 prefetch_batches: int = 4, prebatched: bool = False,
+                 rebatch: bool = False):
+        if rebatch and prebatched:
+            raise ValueError("rebatch and prebatched are mutually exclusive")
         self.make_iter = make_iter
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.prefetch_batches = prefetch_batches
         self.prebatched = prebatched
+        self.rebatch = rebatch
 
     def __iter__(self) -> Iterator[Any]:
         if self.num_workers == 0:
@@ -99,13 +116,15 @@ class BatchLoader:
         procs = [
             ctx.Process(target=_worker_main,
                         args=(self.make_iter, i, self.num_workers,
-                              self.batch_size, self.drop_last, self.prebatched, q),
+                              self.batch_size, self.drop_last, self.prebatched,
+                              self.rebatch, q),
                         daemon=True)
             for i in range(self.num_workers)
         ]
         for p in procs:
             p.start()
         live = self.num_workers
+        buf: list[Any] = []  # rebatch sample buffer
         try:
             while live:
                 try:
@@ -114,10 +133,17 @@ class BatchLoader:
                     raise RuntimeError("data workers stalled for 600s")
                 if kind == "batch":
                     yield payload
+                elif kind == "chunk":
+                    buf.extend(payload)
+                    while len(buf) >= self.batch_size:
+                        yield default_collate(buf[:self.batch_size])
+                        buf = buf[self.batch_size:]
                 elif kind == "end":
                     live -= 1
                 else:
                     raise RuntimeError(f"data worker failed: {payload}")
+            if buf and not self.drop_last:
+                yield default_collate(buf)
         finally:
             for p in procs:
                 p.terminate()

@@ -57,13 +57,15 @@ def _load():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
-        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int]
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
     lib.tae_decode_batch_u8.restype = ctypes.c_int
     lib.tae_decode_batch_u8.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int]
+        ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int)]
     _lib = lib
     return lib
 
@@ -133,16 +135,32 @@ def _out_shape(n: int, out_size: int, patch_size: int) -> tuple[int, ...]:
     return (n, 3, out_size, out_size)
 
 
+def _compact(out: np.ndarray, status: np.ndarray, n: int, failed: int,
+             skip_failed: bool):
+    if not failed:
+        return out, None
+    ok = status == 0
+    if not skip_failed:
+        raise ValueError(f"native batch decode: {failed}/{n} images failed")
+    return np.ascontiguousarray(out[ok]), ok
+
+
 def decode_batch(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
                  out_size: int, filter: int = BICUBIC, threads: int = 0,
                  mean=IMAGENET_MEAN, std=IMAGENET_STD,
-                 patch_size: int = 0) -> np.ndarray:
+                 patch_size: int = 0, skip_failed: bool = False):
     """Batched fused decode over the C++ thread pool.
 
     boxes: (N, 4) float32 source boxes; hflips: (N,) int32.
     threads=0 uses os.cpu_count(). ``patch_size > 0`` writes pre-patchified
     (N, C·p²) extract_patches layout — the device-side patch embedding
     becomes a pure matmul with zero relayout.
+
+    ``skip_failed=False`` (default) raises if any image fails to decode and
+    returns the (N, ...) array. ``skip_failed=True`` returns
+    ``(decoded, keep_mask_or_None)`` with undecodable images dropped —
+    keep_mask is None when nothing failed (one truncated JPEG must not
+    abort a multi-hour tokenization run).
     """
     lib = _load()
     n = len(datas)
@@ -151,25 +169,27 @@ def decode_batch(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
     boxes = np.ascontiguousarray(boxes, np.float32)
     hflips = np.ascontiguousarray(hflips, np.int32)
     out = np.empty(_out_shape(n, out_size, patch_size), np.float32)
+    status = np.zeros((n,), np.int32)
     threads = threads or (os.cpu_count() or 1)
     failed = lib.tae_decode_batch(
         arr_data, arr_len,
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         hflips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n, out_size, filter, _fvec(mean), _fvec(std), threads,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), patch_size)
-    if failed:
-        raise ValueError(f"native batch decode: {failed}/{n} images failed")
-    return out
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), patch_size,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    compacted, mask = _compact(out, status, n, failed, skip_failed)
+    return (compacted, mask) if skip_failed else compacted
 
 
 def decode_batch_u8(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
                     out_size: int, filter: int = BICUBIC, threads: int = 0,
-                    patch_size: int = 0) -> np.ndarray:
+                    patch_size: int = 0, skip_failed: bool = False):
     """Batched fused decode to uint8 CHW (no normalization) — pairs with
     on-device normalization (tae_tpu.data.transforms.device_normalize): 4x
     smaller host->device copies and PIL-exact uint8 rounding semantics.
-    ``patch_size > 0`` emits extract_patches layout (see decode_batch)."""
+    ``patch_size > 0`` emits extract_patches layout; ``skip_failed`` as in
+    :func:`decode_batch`."""
     lib = _load()
     n = len(datas)
     arr_data = (ctypes.c_char_p * n)(*datas)
@@ -177,13 +197,14 @@ def decode_batch_u8(datas: list[bytes], boxes: np.ndarray, hflips: np.ndarray,
     boxes = np.ascontiguousarray(boxes, np.float32)
     hflips = np.ascontiguousarray(hflips, np.int32)
     out = np.empty(_out_shape(n, out_size, patch_size), np.uint8)
+    status = np.zeros((n,), np.int32)
     threads = threads or (os.cpu_count() or 1)
     failed = lib.tae_decode_batch_u8(
         arr_data, arr_len,
         boxes.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         hflips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n, out_size, filter, threads,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), patch_size)
-    if failed:
-        raise ValueError(f"native batch decode: {failed}/{n} images failed")
-    return out
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)), patch_size,
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    compacted, mask = _compact(out, status, n, failed, skip_failed)
+    return (compacted, mask) if skip_failed else compacted

@@ -61,9 +61,12 @@ def open_shard(url: str | Path):
       * ``http(s)://`` — stream over HTTP;
       * ``file://`` or a plain path — local file.
 
-    Returns (fileobj, closer) — call ``closer()`` when done; it raises if a
-    pipe command exited non-zero (a silently truncated shard must not look
-    like a short dataset).
+    Returns (fileobj, closer) — call ``closer(completed)`` when done. For
+    ``pipe:`` shards, ``completed=True`` (stream read to EOF) raises if the
+    command exited non-zero — a silently truncated shard must not look like
+    a short dataset; ``completed=False`` (consumer stopped early, e.g.
+    ``--num_iters`` cut the stream) kills the producer and raises nothing,
+    since the SIGPIPE/-13 exit it causes is expected, not an error.
     """
     url = str(url)
     if url.startswith("pipe:"):
@@ -72,10 +75,12 @@ def open_shard(url: str | Path):
         proc = subprocess.Popen(url[len("pipe:"):], shell=True,
                                 stdout=subprocess.PIPE)
 
-        def close_pipe():
+        def close_pipe(completed: bool = True):
+            if not completed:
+                proc.kill()
             proc.stdout.close()
             rc = proc.wait()
-            if rc != 0:
+            if completed and rc != 0:
                 raise RuntimeError(f"shard pipe {url!r} exited with {rc}")
 
         return proc.stdout, close_pipe
@@ -83,11 +88,11 @@ def open_shard(url: str | Path):
         import urllib.request
 
         resp = urllib.request.urlopen(url)  # noqa: S310 - shard URL from config
-        return resp, resp.close
+        return resp, lambda completed=True: resp.close()
     if url.startswith("file://"):
         url = url[len("file://"):]
     f = open(url, "rb")
-    return f, f.close
+    return f, lambda completed=True: f.close()
 
 
 def tar_samples(path: str | Path) -> Iterator[dict[str, Any]]:
@@ -96,10 +101,12 @@ def tar_samples(path: str | Path) -> Iterator[dict[str, Any]]:
     Members sharing a basename-up-to-first-dot form one sample (webdataset
     convention); a new key flushes the previous sample."""
     fileobj, closer = open_shard(path)
+    completed = False
     try:
         yield from _tar_samples_from(fileobj)
+        completed = True
     finally:
-        closer()
+        closer(completed)
 
 
 def _tar_samples_from(fileobj) -> Iterator[dict[str, Any]]:

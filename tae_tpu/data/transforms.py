@@ -74,6 +74,21 @@ def device_normalize_patches(x, patch_size: int, dtype=None,
     return (x.astype(dtype) - mean) * inv
 
 
+def maybe_device_normalize(x, patch_size: int, dtype):
+    """Dispatch for encoder inputs: uint8 batches (the native decoder's
+    device-normalize path) are normalized on device — CHW rank-4 via
+    :func:`device_normalize`, pre-patchified rank-3 via
+    :func:`device_normalize_patches`; float inputs pass through (the data
+    layer already normalized them)."""
+    import jax.numpy as jnp
+
+    if x.dtype != jnp.uint8:
+        return x
+    if x.ndim == 4:
+        return device_normalize(x, dtype)
+    return device_normalize_patches(x, patch_size, dtype)
+
+
 def _sample_rrc_box(rng: np.random.Generator, width: int, height: int,
                     scale: tuple[float, float], ratio: tuple[float, float]
                     ) -> tuple[int, int, int, int]:

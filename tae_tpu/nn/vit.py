@@ -320,7 +320,7 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
     """Apply a depth-stacked block stack with ``lax.scan``.
 
     ``stacked`` may instead be a list of per-layer param trees (the serving
-    layout produced by ``tae_tpu.ops.int8.quantize_params(unstack=True)``):
+    layout produced by ``tae_tpu.ops.int8.unstack_blocks``):
     then the loop is plain Python and each layer's weights are root buffers
     — no per-layer dynamic-slice copies of the stacked arrays, which
     profiled at ~8% of int8 encode (Pallas operands cannot alias a slice).

@@ -125,12 +125,9 @@ def _mlp_kernel(xq_ref, sx_ref, w1_ref, sw1_ref, b1_ref, w2_ref,
 
 def _divisor_block(dim: int, cap: int) -> int:
     """Largest lane-valid (multiple-of-128 or whole-dim) divisor <= cap."""
-    b = (cap // 128) * 128
-    while b >= 128:
-        if dim % b == 0:
-            return b
-        b -= 128
-    return dim
+    from tae_tpu.ops.int8 import _block
+
+    return _block(dim, cap)
 
 
 def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,

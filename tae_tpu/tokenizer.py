@@ -76,17 +76,12 @@ class Tokenizer:
         m, pol = self.model, self.policy
 
         def enc(p, x):
-            if x.dtype == jnp.uint8:
-                # raw uint8 pixels (native decode_batch_u8 path): fold
-                # ToTensor+Normalize on device — 4x smaller H2D copies, and
-                # XLA fuses the normalize into the patch-embed read. 3-dim
-                # input is the pre-patchified (N, C·p²) layout.
-                from tae_tpu.data.transforms import (device_normalize,
-                                                     device_normalize_patches)
+            # uint8 inputs (native decode_batch_u8 path, CHW or
+            # pre-patchified) are normalized on device — 4x smaller H2D
+            # copies, and XLA fuses the normalize into the patch-embed read
+            from tae_tpu.data.transforms import maybe_device_normalize
 
-                x = (device_normalize(x, pol.compute_dtype) if x.ndim == 4
-                     else device_normalize_patches(x, m.cfg.patch_size,
-                                                   pol.compute_dtype))
+            x = maybe_device_normalize(x, m.cfg.patch_size, pol.compute_dtype)
             return m.forward_encoder(p, x, policy=pol)
 
         self._encode = jax.jit(enc)

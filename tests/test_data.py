@@ -144,6 +144,24 @@ def test_batch_loader_workers(tmp_path):
     assert total == 20
 
 
+def test_batch_loader_rebatch_single_partial_tail(tmp_path):
+    """rebatch=True: a finite multi-worker dataset ends in exactly ONE
+    partial batch (not one per worker) — mean-of-batch-means eval parity
+    with the reference's single sequential loader (train.py:220)."""
+    import functools
+
+    make_fake_wds_shard(tmp_path / "r-000000.tar", num_samples=9, size=24, seed=0)
+    make_fake_wds_shard(tmp_path / "r-000001.tar", num_samples=9, size=24, seed=1)
+    pattern = str(tmp_path / "r-{000000..000001}.tar")
+    loader = BatchLoader(functools.partial(_make_worker_iter, pattern),
+                         batch_size=4, num_workers=2, rebatch=True)
+    sizes = [b[0].shape[0] for b in loader]
+    assert sum(sizes) == 18
+    assert sorted(sizes, reverse=True) == [4, 4, 4, 4, 2]  # one partial tail
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        BatchLoader(lambda w, n: iter(()), 4, prebatched=True, rebatch=True)
+
+
 def test_pipe_shard_source(shard):
     """``pipe:CMD`` shards stream CMD's stdout (webdataset gopen semantics,
     reference train.py:84 — object-store reads like `pipe:gsutil cat ...`)."""
@@ -155,6 +173,16 @@ def test_pipe_shard_source(shard):
     bad = ShardSpec(urls=[f"pipe:cat {shard}; false"], resampled=False)
     with pytest.raises(RuntimeError, match="exited with"):
         list(WebDatasetReader(bad))
+
+    # ...but a consumer abandoning the stream early (e.g. --num_iters) must
+    # NOT raise: the SIGPIPE/kill exit it causes in the still-writing
+    # producer is expected, not a truncated shard
+    long = ShardSpec(
+        urls=["pipe:for i in 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 "
+              f"19 20; do cat {shard}; done"], resampled=False)
+    it = iter(WebDatasetReader(long))
+    next(it)
+    it.close()  # GeneratorExit unwind through tar_samples -> closer(False)
 
 
 def test_http_shard_source(shard):
@@ -346,6 +374,40 @@ def test_native_patch_layout_matches_extract_patches(tmp_path):
     np.testing.assert_array_equal(
         u8p, np.asarray(extract_patches(jnp.asarray(u8c.astype(np.int32)),
                                         16)).astype(np.uint8))
+
+
+def test_native_batch_decode_skips_failed_images():
+    """One undecodable image drops out of the batch instead of aborting it
+    (a truncated JPEG must not kill a multi-hour tokenization run)."""
+    import io
+
+    from PIL import Image
+
+    from tae_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 256, (96, 128, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "JPEG", quality=95)
+    good = buf.getvalue()
+    bad = b"\xff\xd8\xff\xe0" + bytes(rng.integers(0, 255, 500, np.uint8))
+    boxes = np.asarray([[0, 0, 128, 96]] * 3, np.float32)
+    flips = np.zeros(3, np.int32)
+    out, keep = native.decode_batch([good, bad, good], boxes, flips, 64,
+                                    threads=1, skip_failed=True)
+    assert out.shape == (2, 3, 64, 64)
+    np.testing.assert_array_equal(keep, [True, False, True])
+    u8, keep8 = native.decode_batch_u8([good, bad, good], boxes, flips, 64,
+                                       threads=1, skip_failed=True)
+    assert u8.shape == (2, 3, 64, 64) and u8.dtype == np.uint8
+    with pytest.raises(ValueError, match="1/2 images failed"):
+        native.decode_batch([good, bad], boxes[:2], flips[:2], 64, threads=1)
+    # all-good fast path returns (array, None) under skip_failed
+    ok, mask = native.decode_batch([good], boxes[:1], flips[:1], 64,
+                                   threads=1, skip_failed=True)
+    assert ok.shape == (1, 3, 64, 64) and mask is None
 
 
 def test_encoder_accepts_prepatchified_input():
