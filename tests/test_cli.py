@@ -142,6 +142,56 @@ def test_encode_cli_serving_config(data, tmp_path):
     assert np.isfinite(z["latents"]).all()
 
 
+def test_encode_cli_survives_corrupt_jpeg(data, tmp_path):
+    """A shard containing an undecodable JPEG loses that sample only —
+    remaining images and their labels stay aligned (native skip_failed)."""
+    import io
+    import tarfile
+
+    from tae_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    from tae_tpu.cli import encode as cli_encode
+
+    shard = tmp_path / "bad-000000.tar"
+    rng = np.random.default_rng(3)
+    with tarfile.open(shard, "w") as tar:
+        for i in range(12):
+            if i == 5:  # valid JPEG header, garbage body -> decode fails
+                payload = b"\xff\xd8\xff\xe0" + bytes(
+                    rng.integers(0, 255, 400, np.uint8))
+            else:
+                from PIL import Image
+
+                arr = rng.integers(0, 256, (72, 72, 3), dtype=np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, "JPEG", quality=90)
+                payload = buf.getvalue()
+            info = tarfile.TarInfo(f"{i:05d}.jpg")
+            info.size = len(payload)
+            tar.addfile(info, io.BytesIO(payload))
+            cls = str(i).encode()
+            info = tarfile.TarInfo(f"{i:05d}.cls")
+            info.size = len(cls)
+            tar.addfile(info, io.BytesIO(cls))
+
+    out = tmp_path / "encb"
+    out.mkdir()
+    args = cli_encode.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size", "16",
+        "--num_iters", "10", "--num_workers", "0", "--shard_size", "16",
+        "--data_path", str(shard),
+        "--output_dir", str(out), "--save_prefix", "bad",
+    ])
+    stats = cli_encode.main(args)
+    assert stats["num_samples"] == 11
+    z = np.load(out / "bad_latents-000000.npz")
+    # label 5 (the corrupt image) is gone; all others are present in order
+    assert list(z["targets"]) == [0, 1, 2, 3, 4, 6, 7, 8, 9, 10, 11]
+
+
 def test_encode_cli_int8_sharded_mesh(data, tmp_path):
     """int8 serving layout composes with a multi-device (data, fsdp) mesh:
     quantize -> unstack on sharded params, batch sharded over 8 devices."""
