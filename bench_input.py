@@ -120,9 +120,9 @@ def main() -> None:
     workers = max(args.num_workers, 1)
     per_core = res["img_per_sec"] / min(workers, os.cpu_count() or 1)
     # chip-side rates measured on v5e (bench.py detail; see CLAUDE.md)
-    chip_rates = {"p16_bf16": 1384, "p16_int8": 1859,
-                  "p64_bf16": 3013, "p64_int8": 4902,
-                  "p128_bf16": 10226, "p128_int8": 14643}
+    chip_rates = {"p16_bf16": 1462, "p16_int8": 2000,
+                  "p64_bf16": 3014, "p64_int8": 4991,
+                  "p128_bf16": 10503, "p128_int8": 14600}
     out = {
         "metric": "host input pipeline (decode+augment+collate) img/s",
         "value": res["img_per_sec"],
