@@ -218,6 +218,28 @@ def test_log_every_and_profiling(tmp_path, capsys):
     assert key is not None
 
 
+def test_xprof_top_ops_parses_trace(tmp_path, capsys):
+    """First-party xplane parsing: trace a jitted computation, get a
+    per-op duration table (the tensorboard converter chain is broken by
+    version skew; this is the analysis path that found the attention-kernel
+    win, docs/KERNELS.md)."""
+    import jax
+
+    from tae_tpu.utils import xprof
+
+    f = jax.jit(lambda x: jnp.tanh(x @ x).sum())
+    x = jnp.ones((128, 128))
+    float(f(x))  # compile outside the trace
+    with xprof.trace(str(tmp_path / "tr")):
+        float(f(x))
+    rows = xprof.top_ops(str(tmp_path / "tr"))
+    assert rows and all({"name", "total_ms", "count", "share"} <= set(r)
+                        for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-6 or len(rows) == 25
+    xprof.print_top_ops(str(tmp_path / "tr"))
+    assert "share" in capsys.readouterr().out
+
+
 def test_int8_param_sharding_mirrors_float_rules():
     """Quantized w_q/w_scale leaves shard like their float counterparts and
     a quantized encoder executes under GSPMD on the mesh."""
