@@ -280,21 +280,49 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     qkv = int8_linear(xq, a["qkv"]["w_q"], a["qkv"]["w_scale"],
                       a["qkv"].get("b"), x_scale=sx, out_dtype=x.dtype,
                       interpret=interpret)
+    # attention emits int8 + per-row scales directly (the proj matmul's
+    # input quantization rides the kernel that already holds the output in
+    # VMEM — the XLA convert+quantize passes it replaces profiled ~10% of
+    # p16 int8 encode)
+    import os
+
+    # int8-output attention pays an amax+quantize epilogue to delete the
+    # XLA convert+quantize passes before proj. Measured: wins at tiny N
+    # (p64 4991->5117, p128 ~+2%) where the wide kernel's f32 scratch is
+    # small, loses at large N (p16 2002->1973; p32 additionally loses its
+    # bh-1024 MLP blocking to the added VMEM pressure) — so it dispatches
+    # at N<=16. TAE_TPU_PACKED_ATTN_Q8=0/1 forces.
+    env_q8 = os.environ.get("TAE_TPU_PACKED_ATTN_Q8", "")
+    use_q8 = env_q8 != "0" if env_q8 else n <= 16
     if not interpret and n >= _fused_attn_minn():
         # same measured dispatch rule as attention_apply
-        from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention
+        from tae_tpu.ops.pallas.flash_attention import (fused_qkv_attention,
+                                                        fused_qkv_attention_q8)
 
-        y = fused_qkv_attention(qkv.reshape(b, n, 3 * c), h)
+        if use_q8:
+            yq, sy = fused_qkv_attention_q8(qkv.reshape(b, n, 3 * c), h)
+            y, y_scale = yq.reshape(b * n, c), sy.reshape(b * n, 1)
+        else:
+            y = fused_qkv_attention(qkv.reshape(b, n, 3 * c), h)
+            y, y_scale = y.reshape(b * n, c), None
     elif not interpret and _attn_wide(n, int8_path=True):
-        from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_wide
+        from tae_tpu.ops.pallas.flash_attention import (
+            fused_qkv_attention_wide, fused_qkv_attention_wide_q8)
 
-        y = fused_qkv_attention_wide(qkv.reshape(b, n, 3 * c), h)
+        if use_q8:
+            yq, sy = fused_qkv_attention_wide_q8(qkv.reshape(b, n, 3 * c), h)
+            y, y_scale = yq.reshape(b * n, c), sy.reshape(b * n, 1)
+        else:
+            y = fused_qkv_attention_wide(qkv.reshape(b, n, 3 * c), h)
+            y, y_scale = y.reshape(b * n, c), None
     else:
         r = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
         y = attention(r[0], r[1], r[2], backend="xla")
-        y = y.transpose(0, 2, 1, 3)
-    x2 = int8_linear(y.reshape(b * n, c), a["proj"]["w_q"],
+        y = y.transpose(0, 2, 1, 3).reshape(b * n, c)
+        y_scale = None
+    x2 = int8_linear(y, a["proj"]["w_q"],
                      a["proj"]["w_scale"], a["proj"].get("b"),
+                     x_scale=y_scale,
                      backend="pallas" if not interpret else None,
                      residual=x2, out_dtype=x.dtype, interpret=interpret)
     # --- MLP half: x = x + fc2(gelu(fc1(LN(x)))), one kernel ---

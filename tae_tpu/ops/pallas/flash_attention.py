@@ -272,6 +272,133 @@ def _packed_wide_fwd_kernel_stacked(qkv_ref, o_ref, *, h: int, scale: float,
                 o[j * bb:(j + 1) * bb].astype(o_ref.dtype)
 
 
+def _packed_fwd_kernel_stacked_q8(qkv_ref, oq_ref, s_ref, *, h: int,
+                                  scale: float):
+    """Serving variant of _packed_fwd_kernel_stacked that emits int8 output
+    with per-row symmetric scales — the proj matmul consumes it directly,
+    removing the XLA-side convert+quantize passes between attention and
+    proj (profiled ~10% of p16 int8 encode)."""
+    x = qkv_ref[0]                                  # (N, 3C)
+    n = x.shape[0]
+    c = x.shape[1] // 3
+    dh = c // h
+    qs = jnp.stack([x[:, i * dh:(i + 1) * dh] for i in range(h)])
+    ks = jnp.stack([x[:, c + i * dh:c + (i + 1) * dh] for i in range(h)])
+    vs = jnp.stack([x[:, 2 * c + i * dh:2 * c + (i + 1) * dh]
+                    for i in range(h)])
+    s = jax.lax.dot_general(qs, ks, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(vs.dtype), vs,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o = o / l                                       # (h, N, dh) f32
+    amax = jnp.max(jnp.abs(o), axis=(0, 2)).reshape(n, 1)
+    sc = jnp.maximum(amax / 127.0, 1e-12)
+    inv = pl.reciprocal(sc, approx=False)
+    for i in range(h):
+        oq_ref[0, :, i * dh:(i + 1) * dh] = jnp.clip(
+            jnp.round(o[i] * inv), -127.0, 127.0).astype(jnp.int8)
+    s_ref[0] = sc
+
+
+def fused_qkv_attention_q8(qkv, num_heads: int, scale: float | None = None,
+                           interpret: bool = False):
+    """(B, N, 3C) packed qkv -> (int8 (B, N, C) attention output, (B, N, 1)
+    f32 per-row scales) for the int8 serving path (per-batch grid, N>=128
+    regime)."""
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    if scale is None:
+        scale = (c // num_heads) ** -0.5
+    return pl.pallas_call(
+        functools.partial(_packed_fwd_kernel_stacked_q8, h=num_heads,
+                          scale=float(scale)),
+        grid=(b,),
+        in_specs=[_packed_spec(n, c3)],
+        out_specs=[_packed_spec(n, c),
+                   pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), jnp.int8),
+                   jax.ShapeDtypeStruct((b, n, 1), jnp.float32)],
+        interpret=interpret,
+    )(qkv)
+
+
+def _packed_wide_fwd_kernel_stacked_q8(qkv_ref, oq_ref, s_ref, acc_ref, *,
+                                       h: int, scale: float, group: int):
+    """Wide (tiny-N) serving variant with int8 output: head groups
+    accumulate into an f32 VMEM scratch so the per-row scale can span ALL
+    heads before quantizing."""
+    x = qkv_ref[:]                                  # (bb, N, 3C)
+    bb, n, c3 = x.shape
+    c = c3 // 3
+    dh = c // h
+    for g0 in range(0, h, group):
+        heads = range(g0, min(g0 + group, h))
+        qs = jnp.concatenate([x[:, :, i * dh:(i + 1) * dh] for i in heads])
+        ks = jnp.concatenate([x[:, :, c + i * dh:c + (i + 1) * dh]
+                              for i in heads])
+        vs = jnp.concatenate([x[:, :, 2 * c + i * dh:2 * c + (i + 1) * dh]
+                              for i in heads])
+        s = jax.lax.dot_general(qs, ks, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vs.dtype), vs,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o = o / l
+        for j, i in enumerate(heads):
+            acc_ref[:, :, i * dh:(i + 1) * dh] = o[j * bb:(j + 1) * bb]
+    o_all = acc_ref[:]                              # (bb, N, C) f32
+    sc = jnp.maximum(jnp.max(jnp.abs(o_all), axis=2, keepdims=True) / 127.0,
+                     1e-12)
+    oq_ref[:] = jnp.clip(jnp.round(o_all * pl.reciprocal(sc, approx=False)),
+                         -127.0, 127.0).astype(jnp.int8)
+    s_ref[:] = sc
+
+
+def fused_qkv_attention_wide_q8(qkv, num_heads: int,
+                                scale: float | None = None,
+                                block_b: int | None = None,
+                                interpret: bool = False):
+    """Wide (tiny-N) counterpart of :func:`fused_qkv_attention_q8`."""
+    import os
+
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    if scale is None:
+        scale = (c // num_heads) ** -0.5
+    if block_b is None:
+        block_b = int(os.environ.get("TAE_TPU_ATTN_WIDE_BB", "0")) \
+            or max(1, min(b, 256 // n))
+    while b % block_b:
+        block_b //= 2
+    group = _wide_stack_group(num_heads, block_b, n, c // num_heads,
+                              budget=2 << 20)
+    spec3 = pl.BlockSpec((block_b, n, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    speco = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    specs = pl.BlockSpec((block_b, n, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_packed_wide_fwd_kernel_stacked_q8, h=num_heads,
+                          scale=float(scale), group=group),
+        grid=(b // block_b,),
+        in_specs=[spec3],
+        out_specs=[speco, specs],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), jnp.int8),
+                   jax.ShapeDtypeStruct((b, n, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_b, n, c), jnp.float32)],
+        interpret=interpret,
+    )(qkv)
+
+
 def _wide_stack_group(h: int, bb: int, n: int, dh: int,
                       budget: int = 3 << 20) -> int:
     """Largest head-group whose stacked temporaries fit ``budget`` bytes."""

@@ -169,6 +169,10 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
         bm_est = min(block_m, m)
         vmem = lambda bh: (14 * bm_est * d + 4 * d * bh  # noqa: E731
                            + 1024 * bm_est + 128 * (bh + d))
+        # p32's bh-1024 estimate sits 2% under this budget: it compiles in
+        # every measured graph EXCEPT with the q8-attention scratch added
+        # (which the N<=16 dispatch keeps out of p32 anyway) and is worth
+        # 2275 vs 2099 img/s — so the budget stays at the 16M limit
         while block_h > 128 and vmem(block_h) > 16 * 1024 * 1024:
             block_h //= 2
     bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32

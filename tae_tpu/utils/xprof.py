@@ -74,7 +74,10 @@ def top_ops(log_dir: str, device_substr: str = "TPU",
         raise ValueError("no populated device/host planes in trace")
     plane = planes[0]
     meta = {k: v.name for k, v in plane.event_metadata.items()}
-    lines = [ln for ln in plane.lines if line_substr in ln.name] or plane.lines
+    # exact-prefix match so "XLA Ops" does NOT pick up "Async XLA Ops" —
+    # async copy-start durations overlap compute and would double-count
+    lines = [ln for ln in plane.lines if ln.name.startswith(line_substr)] \
+        or plane.lines
     dur = collections.Counter()
     cnt = collections.Counter()
     for ln in lines:

@@ -373,6 +373,27 @@ def test_fused_qkv_attention_wide_matches_xla(b, n, h, dh, bb):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("wide,b,n,h,dh", [(False, 3, 128, 8, 64),
+                                           (True, 8, 16, 32, 80),
+                                           (True, 16, 4, 32, 80)])
+def test_fused_qkv_attention_q8_matches_float(wide, b, n, h, dh):
+    """int8-output attention (serving): dequantized output matches the
+    float kernel within per-row int8 quantization error."""
+    from tae_tpu.ops.pallas.flash_attention import (fused_qkv_attention_q8,
+                                                    fused_qkv_attention_wide_q8)
+
+    c = h * dh
+    qkv = jax.random.normal(jax.random.key(31), (b, n, 3 * c), jnp.float32)
+    fn = fused_qkv_attention_wide_q8 if wide else fused_qkv_attention_q8
+    oq, sc = fn(qkv, h, interpret=True)
+    assert oq.dtype == jnp.int8 and sc.shape == (b, n, 1)
+    got = oq.astype(jnp.float32) * sc
+    r = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    ref = attention_xla(r[0], r[1], r[2]).transpose(0, 2, 1, 3).reshape(b, n, c)
+    rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
+    assert rel < 0.02, rel  # per-row symmetric int8 rounding error
+
+
 def test_fused_qkv_attention_wide_grad_matches_reference():
     from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_wide
 
