@@ -119,6 +119,33 @@ class Tokenizer:
         z = self.params["codebook"][jnp.asarray(ids)]
         return self.decode(z)
 
+    # ------------------------------------------------------- serving artifact
+    def save_serving(self, path: str) -> None:
+        """Persist the (possibly int8-quantized, unstacked) serving params so
+        deployment skips checkpoint-load + quantization at startup —
+        quantize once, ship the artifact."""
+        from tae_tpu.ckpt.io import save_checkpoint
+
+        save_checkpoint(path, self.params,
+                        extra={"serving": True,
+                               "compute_dtype": str(
+                                   jnp.dtype(self.policy.compute_dtype))})
+
+    @classmethod
+    def from_serving(cls, model_name: str, path: str, dtype=jnp.bfloat16,
+                     **model_overrides) -> "Tokenizer":
+        """Load a :meth:`save_serving` artifact (no re-quantization)."""
+        from tae_tpu import models
+        from tae_tpu.ckpt.io import load_checkpoint
+
+        model = models.create(model_name, **model_overrides)
+        params, meta = load_checkpoint(path)
+        if not meta.get("serving"):
+            raise ValueError(f"{path!r} is not a serving artifact "
+                             "(use from_checkpoint for training checkpoints)")
+        return cls(model=model, params=params,
+                   policy=Policy(param_dtype=dtype, compute_dtype=dtype))
+
     def encode_jpeg(self, jpegs: Sequence[bytes], deterministic: bool = True
                     ) -> jax.Array:
         """Raw JPEG bytes -> latents via the native (or PIL) val transform."""

@@ -143,6 +143,32 @@ def test_int8_quantized_encode_close_to_fp():
     assert rel < 0.15  # a few % typical; generous bound for 2-layer random net
 
 
+def test_serving_artifact_roundtrip(tmp_path):
+    """save_serving persists the quantized unstacked params; from_serving
+    restores them (int8 dtypes, per-layer list layout) and produces the
+    same latents without re-quantizing."""
+    tok8 = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                     dtype=jnp.float32, quantization="int8",
+                                     **TINY)
+    tok8.save_serving(str(tmp_path / "art"))
+    tok2 = Tokenizer.from_serving("tae_patch16_vocab16_px256",
+                                  str(tmp_path / "art"), dtype=jnp.float32,
+                                  **TINY)
+    blocks = tok2.params["encoder"]["blocks"]
+    assert isinstance(blocks, list)
+    assert blocks[0]["mlp"]["fc1"]["w_q"].dtype == jnp.int8
+    imgs = np.random.default_rng(5).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(tok8.encode(imgs)),
+                                  np.asarray(tok2.encode(imgs)))
+    # a plain (training) checkpoint is rejected with a pointed message
+    from tae_tpu.ckpt.io import save_checkpoint
+
+    save_checkpoint(tmp_path / "plain", tok8.params)
+    with pytest.raises(ValueError, match="serving artifact"):
+        Tokenizer.from_serving("tae_patch16_vocab16_px256",
+                               str(tmp_path / "plain"), **TINY)
+
+
 def test_int8_unknown_mode_rejected():
     with pytest.raises(ValueError, match="quantization"):
         Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
