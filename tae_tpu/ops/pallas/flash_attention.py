@@ -441,6 +441,59 @@ def _packed_bwd_kernel(qkv_ref, o_ref, lse_ref, do_ref, dqkv_ref, *,
         dqkv_ref[0, :, 2 * c + i * dh:2 * c + (i + 1) * dh] = dv.astype(dt)
 
 
+def _packed_bwd_kernel_stacked(qkv_ref, o_ref, lse_ref, do_ref, dqkv_ref, *,
+                               h: int, scale: float, group: int):
+    """Head-stacked backward (same restructure as the forward: one slice
+    pass per head group, then head-batched dot_generals instead of h
+    serial rounds). Grouped because the backward holds ~3 (g, N, N) f32
+    score-sized temporaries — the full-h stack needed 24.6M scoped VMEM."""
+    x = qkv_ref[0]                                  # (N, 3C)
+    c = x.shape[1] // 3
+    dh = c // h
+    f32 = jnp.float32
+    dt = dqkv_ref.dtype
+    for g0 in range(0, h, group):
+        heads = range(g0, min(g0 + group, h))
+        q = jnp.stack([x[:, i * dh:(i + 1) * dh] for i in heads]).astype(f32)
+        k = jnp.stack([x[:, c + i * dh:c + (i + 1) * dh]
+                       for i in heads]).astype(f32)
+        v = jnp.stack([x[:, 2 * c + i * dh:2 * c + (i + 1) * dh]
+                       for i in heads]).astype(f32)
+        o = jnp.stack([o_ref[0, :, i * dh:(i + 1) * dh]
+                       for i in heads]).astype(f32)
+        do = jnp.stack([do_ref[0, :, i * dh:(i + 1) * dh]
+                        for i in heads]).astype(f32)
+        lse = lse_ref[0, g0:g0 + len(heads)]        # (g, N, 1)
+
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=f32) * scale
+        p = jnp.exp(s - lse)                        # (g, N, N)
+        dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        dp = jax.lax.dot_general(do, v, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        delta = jnp.sum(do * o, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale
+        dq = jax.lax.dot_general(ds, k, (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        dk = jax.lax.dot_general(ds, q, (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        for j, i in enumerate(heads):
+            dqkv_ref[0, :, i * dh:(i + 1) * dh] = dq[j].astype(dt)
+            dqkv_ref[0, :, c + i * dh:c + (i + 1) * dh] = dk[j].astype(dt)
+            dqkv_ref[0, :, 2 * c + i * dh:2 * c + (i + 1) * dh] = \
+                dv[j].astype(dt)
+
+
+def _bwd_stack_group(h: int, n: int, dh: int, budget: int = 5 << 20) -> int:
+    """Largest head-group whose backward temporaries fit ``budget``."""
+    per_head = 5 * n * dh * 4 + 3 * n * n * 4 + 3 * n * dh * 4
+    g = max(1, min(h, budget // max(per_head, 1)))
+    while h % g:
+        g -= 1
+    return g
+
+
 def _packed_spec(n: int, c: int):
     return pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -572,8 +625,17 @@ def _packed_vjp_bwd(num_heads, scale, interpret, residuals, do):
     b, n, c3 = qkv.shape
     if scale is None:
         scale = (c3 // 3 // num_heads) ** -0.5
+    import os
+
+    if os.environ.get("TAE_TPU_PACKED_ATTN") == "loop":
+        bwd_body = functools.partial(_packed_bwd_kernel, h=num_heads,
+                                     scale=float(scale))
+    else:
+        grp = _bwd_stack_group(num_heads, n, c3 // 3 // num_heads)
+        bwd_body = functools.partial(_packed_bwd_kernel_stacked, h=num_heads,
+                                     scale=float(scale), group=grp)
     dqkv = pl.pallas_call(
-        functools.partial(_packed_bwd_kernel, h=num_heads, scale=float(scale)),
+        bwd_body,
         grid=(b,),
         in_specs=[_packed_spec(n, c3), _packed_spec(n, c3 // 3),
                   _lse_spec3(num_heads, n), _packed_spec(n, c3 // 3)],
