@@ -119,10 +119,12 @@ def main() -> None:
 
     workers = max(args.num_workers, 1)
     per_core = res["img_per_sec"] / min(workers, os.cpu_count() or 1)
-    # chip-side rates measured on v5e (bench.py detail; see CLAUDE.md)
-    chip_rates = {"p16_bf16": 1462, "p16_int8": 2000,
-                  "p64_bf16": 3014, "p64_int8": 4991,
-                  "p128_bf16": 10503, "p128_int8": 14600}
+    # chip-side rates measured on v5e (bench.py detail; see CLAUDE.md).
+    # int8 numbers carry the relay's run-to-run spread (p128 int8 measured
+    # 14.3-17.4k across runs; the midpoints below are the provisioning basis)
+    chip_rates = {"p16_bf16": 1462, "p16_int8": 2003,
+                  "p64_bf16": 3014, "p64_int8": 5117,
+                  "p128_bf16": 10503, "p128_int8": 15900}
     out = {
         "metric": "host input pipeline (decode+augment+collate) img/s",
         "value": res["img_per_sec"],

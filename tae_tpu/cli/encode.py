@@ -179,8 +179,12 @@ def make_encode_loader(data_path: str, input_size: int, deterministic: bool,
         return BatchLoader(make_iter, batch_size, num_workers=num_workers,
                            prebatched=True)
     if u8 or patch_size:
-        raise ValueError("--device_normalize/--patch_layout require the "
-                         "native decoder (build with native/build.sh)")
+        # the flags are pure input-layout accelerators (uint8 H2D /
+        # pre-patchified); the PIL path yields normalized float CHW which
+        # the same encode step consumes unchanged — degrade, don't die
+        print("WARNING: --device_normalize/--patch_layout need the native "
+              "decoder (native/build.sh); falling back to the PIL path",
+              flush=True)
     make_iter = functools.partial(_encode_iter, data_path, input_size,
                                   deterministic, seed)
     return BatchLoader(make_iter, batch_size, num_workers=num_workers)

@@ -24,6 +24,9 @@ from typing import Any, Callable, Iterable, Iterator
 
 import numpy as np
 
+# max samples a rebatch worker buffers/ships per queue item (memory cap)
+_REBATCH_CHUNK = 256
+
 
 def default_collate(samples: list[Any]) -> Any:
     """Stack a list of (nested tuples of) arrays/scalars into batch arrays."""
@@ -56,8 +59,11 @@ def _worker_main(make_iter, worker_id: int, num_workers: int, batch_size: int,
         if rebatch:
             # ship uncollated sample chunks; the consumer assembles exact
             # batches so the dataset tail is ONE partial batch, not one per
-            # worker (matters for mean-of-batch-means eval parity)
-            for chunk in batched(it, batch_size, collate=list):
+            # worker (matters for mean-of-batch-means eval parity). Chunks are
+            # capped well below batch_size: each worker buffering a full
+            # 8192-image eval batch would hold ~6 GB × num_workers on the host.
+            chunk_size = min(batch_size, _REBATCH_CHUNK)
+            for chunk in batched(it, chunk_size, collate=list):
                 q.put(("chunk", chunk))
         else:
             if not prebatched:

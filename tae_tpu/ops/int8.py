@@ -55,8 +55,11 @@ def int8_linear_xla(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
 def _block(dim: int, cap: int) -> int:
     """Largest lane-valid block <= cap that divides dim: Mosaic requires the
     last block dim to be a multiple of 128 or equal to the full array dim
-    (caught by a real-TPU drive of a tiny model: dim 192 used to pick 64)."""
-    b = (cap // 128) * 128
+    (caught by a real-TPU drive of a tiny model: dim 192 used to pick 64).
+    A cap below 128 clamps up to the smallest lane-valid block rather than
+    falling through to the whole dim (the maximal VMEM footprint — the
+    opposite of what a small-cap request wants)."""
+    b = max(128, (cap // 128) * 128)
     while b >= 128:
         if dim % b == 0:
             return b

@@ -373,11 +373,10 @@ def fused_qkv_attention_wide_q8(qkv, num_heads: int,
     c = c3 // 3
     if scale is None:
         scale = (c // num_heads) ** -0.5
-    if block_b is None:
-        block_b = int(os.environ.get("TAE_TPU_ATTN_WIDE_BB", "0")) \
-            or max(1, min(b, 256 // n))
-    while b % block_b:
-        block_b //= 2
+    block_b = _wide_block_b(b, n, block_b)
+    # tighter head-group budget than the plain wide kernel: this variant
+    # adds a (block_b, n, c) f32 accumulator scratch for the cross-group
+    # amax, which counts against the same scoped-VMEM pool
     group = _wide_stack_group(num_heads, block_b, n, c // num_heads,
                               budget=2 << 20)
     spec3 = pl.BlockSpec((block_b, n, c3), lambda i: (i, 0, 0),
@@ -397,6 +396,19 @@ def fused_qkv_attention_wide_q8(qkv, num_heads: int,
         scratch_shapes=[pltpu.VMEM((block_b, n, c), jnp.float32)],
         interpret=interpret,
     )(qkv)
+
+
+def _wide_block_b(b: int, n: int, block_b: int | None = None) -> int:
+    """Batch-block size for the wide (tiny-N) kernels: ~256 rows of work per
+    program, halved until it divides b. ``TAE_TPU_ATTN_WIDE_BB`` overrides."""
+    import os
+
+    if block_b is None:
+        block_b = int(os.environ.get("TAE_TPU_ATTN_WIDE_BB", "0")) \
+            or max(1, min(b, 256 // n))
+    while b % block_b:
+        block_b //= 2
+    return block_b
 
 
 def _wide_stack_group(h: int, bb: int, n: int, dh: int,
@@ -551,11 +563,7 @@ def fused_qkv_attention_wide(qkv, num_heads: int, scale: float | None = None,
     c = c3 // 3
     if scale is None:
         scale = (c // num_heads) ** -0.5
-    if block_b is None:
-        block_b = int(os.environ.get("TAE_TPU_ATTN_WIDE_BB", "0")) \
-            or max(1, min(b, 256 // n))
-    while b % block_b:
-        block_b //= 2
+    block_b = _wide_block_b(b, n, block_b)
     spec3 = pl.BlockSpec((block_b, n, c3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     speco = pl.BlockSpec((block_b, n, c), lambda i: (i, 0, 0),

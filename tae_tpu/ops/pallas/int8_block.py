@@ -38,6 +38,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tae_tpu.ops.int8 import _block as _lane_block
+
 
 # ---------------------------------------------------------------------------
 # fused LayerNorm -> int8 quantize
@@ -123,13 +125,6 @@ def _mlp_kernel(xq_ref, sx_ref, w1_ref, sw1_ref, b1_ref, w2_ref,
         o_ref[:] = y.astype(o_ref.dtype)
 
 
-def _divisor_block(dim: int, cap: int) -> int:
-    """Largest lane-valid (multiple-of-128 or whole-dim) divisor <= cap."""
-    from tae_tpu.ops.int8 import _block
-
-    return _block(dim, cap)
-
-
 def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
              w1_q: jnp.ndarray, w1_scale: jnp.ndarray, b1: jnp.ndarray,
              w2_q: jnp.ndarray, w2_scale: jnp.ndarray, b2: jnp.ndarray,
@@ -176,7 +171,7 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
         while block_h > 128 and vmem(block_h) > 16 * 1024 * 1024:
             block_h //= 2
     bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
-    bh = _divisor_block(hdim, block_h)
+    bh = _lane_block(hdim, block_h)
     pad = (-m) % bm
     if pad:
         xq = jnp.pad(xq, ((0, pad), (0, 0)))

@@ -132,9 +132,14 @@ class Tokenizer:
                                    jnp.dtype(self.policy.compute_dtype))})
 
     @classmethod
-    def from_serving(cls, model_name: str, path: str, dtype=jnp.bfloat16,
+    def from_serving(cls, model_name: str, path: str, dtype=None,
                      **model_overrides) -> "Tokenizer":
-        """Load a :meth:`save_serving` artifact (no re-quantization)."""
+        """Load a :meth:`save_serving` artifact (no re-quantization).
+
+        ``dtype=None`` (default) restores the compute dtype recorded by
+        :meth:`save_serving`, so the restored tokenizer reproduces the
+        numerics the artifact was validated under; pass a dtype explicitly
+        to override."""
         from tae_tpu import models
         from tae_tpu.ckpt.io import load_checkpoint
 
@@ -143,6 +148,8 @@ class Tokenizer:
         if not meta.get("serving"):
             raise ValueError(f"{path!r} is not a serving artifact "
                              "(use from_checkpoint for training checkpoints)")
+        if dtype is None:
+            dtype = jnp.dtype(meta.get("compute_dtype", "bfloat16"))
         return cls(model=model, params=params,
                    policy=Policy(param_dtype=dtype, compute_dtype=dtype))
 

@@ -33,12 +33,19 @@ class Policy:
     def cast_to_compute(self, tree):
         import jax
 
-        return jax.tree.map(
-            lambda x: x.astype(self.compute_dtype)
-            if hasattr(x, "astype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x,
-            tree,
-        )
+        def cast(path, x):
+            if not (hasattr(x, "astype")
+                    and jnp.issubdtype(x.dtype, jnp.floating)):
+                return x
+            # int8 per-channel weight scales (tae_tpu.ops.int8 layout) stay
+            # fp32: the kernels consume them in fp32, and squeezing them
+            # through bf16 here would layer ~0.4% scale-quantization error
+            # onto the int8 path for no bandwidth win (they are (out,)-sized)
+            if path and getattr(path[-1], "key", None) == "w_scale":
+                return x
+            return x.astype(self.compute_dtype)
+
+        return jax.tree_util.tree_map_with_path(cast, tree)
 
     def cast_to_output(self, x):
         if self.output_dtype is None:
