@@ -62,10 +62,13 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="native decoder writes pre-patchified (N, C*p*p) "
                         "batches so patch embedding is a pure matmul with "
                         "zero on-device relayout")
-    p.add_argument("--quantization", default=None, choices=["int8"],
-                   help="opt-in w8a8 int8 serving path (fused Pallas block "
-                        "kernels; +25-47%% measured encode throughput, "
-                        "latent rel err ~3e-2 vs bf16)")
+    p.add_argument("--quantization", default=None, choices=["int8", "int4"],
+                   help="opt-in quantized serving path: int8 = w8a8 fused "
+                        "Pallas block kernels (+25-47%% measured encode "
+                        "throughput, latent rel err ~3e-2 vs bf16); int4 = "
+                        "w4a8 packed block weights (half the weight bytes "
+                        "for the weight-bound small-batch regime; coarser "
+                        "code — see tae_tpu/ops/int4.py)")
     _common.add_tpu_args(p)
     return p
 
@@ -195,6 +198,7 @@ class ShardWriter:
 
     def __init__(self, output_dir: Path, prefix: str, shard_size: int):
         self.dir = output_dir
+        self.dir.mkdir(parents=True, exist_ok=True)
         self.prefix = prefix
         self.shard_size = shard_size
         self.buf_z: list[np.ndarray] = []
@@ -246,8 +250,11 @@ def main(args) -> dict:
     if args.model_ckpt:
         params = load_params(args.model_ckpt, model, params)
         print(f"Loaded checkpoint {args.model_ckpt}")
-    if args.quantization == "int8":
+    if args.quantization in ("int8", "int4"):
         from tae_tpu.ops.int8 import quantize_params, unstack_blocks
+
+        if args.quantization == "int4":
+            from tae_tpu.ops.int4 import quantize_params_int4 as quantize_params
 
         params = unstack_blocks(jax.jit(quantize_params)(params))
 

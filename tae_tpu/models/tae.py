@@ -116,7 +116,7 @@ class TAE:
     # --------------------------------------------------------------- forward
     def forward_encoder(self, params: Params, imgs: jnp.ndarray, *,
                         policy: Policy = DEFAULT, backend: str | None = None,
-                        remat: bool = False, unroll: bool = False) -> jnp.ndarray:
+                        remat: bool | str = False, unroll: bool = False) -> jnp.ndarray:
         """(B, C, H, W) -> latents (B, N, vocab_size). Reference tae.py:224-238.
 
         Also accepts pre-patchified (B, N, C·p²) input in extract_patches
@@ -149,7 +149,7 @@ class TAE:
 
     def forward_decoder(self, params: Params, z: jnp.ndarray, *,
                         policy: Policy = DEFAULT, backend: str | None = None,
-                        remat: bool = False, unroll: bool = False) -> jnp.ndarray:
+                        remat: bool | str = False, unroll: bool = False) -> jnp.ndarray:
         """latents (B, N, vocab) -> per-patch pixel preds (B, N, p²·C).
         Reference tae.py:240-254."""
         c = self.cfg
@@ -173,7 +173,7 @@ class TAE:
 
     def forward(self, params: Params, imgs: jnp.ndarray, *,
                 policy: Policy = DEFAULT, backend: str | None = None,
-                remat: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                remat: bool | str = False) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Full autoencode: returns (loss, pred). Reference tae.py:267-271.
 
         With ``quantize=True`` the latent passes through the VQ bottleneck and

@@ -80,10 +80,34 @@ def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
         from tae_tpu.ops.int8 import int8_linear
 
         return int8_linear(x, p["w_q"], p["w_scale"], p.get("b"))
+    if "w4" in p:  # packed-int4 weights (tae_tpu.ops.int4)
+        from tae_tpu.ops.int4 import int4_linear
+
+        return int4_linear(x, p["w4"], p["w4_scale"], p.get("b"))
     y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]
     return y
+
+
+def _qlinear(p: Params, x: jnp.ndarray, x_scale=None, residual=None,
+             out_dtype=None, backend: str | None = None,
+             interpret: bool = False) -> jnp.ndarray:
+    """Quantized linear dispatching on the leaf layout (w_q: int8 / w4:
+    packed int4) with the shared fused-epilogue contract."""
+    if "w4" in p:
+        from tae_tpu.ops.int4 import int4_linear
+
+        return int4_linear(x, p["w4"], p["w4_scale"], p.get("b"),
+                           x_scale=x_scale, residual=residual,
+                           out_dtype=out_dtype, backend=backend,
+                           interpret=interpret)
+    from tae_tpu.ops.int8 import int8_linear
+
+    return int8_linear(x, p["w_q"], p["w_scale"], p.get("b"),
+                       x_scale=x_scale, residual=residual,
+                       out_dtype=out_dtype, backend=backend,
+                       interpret=interpret)
 
 
 def layer_norm_init(dim: int, dtype=jnp.float32) -> Params:
@@ -246,7 +270,8 @@ def block_init(key: jax.Array, cfg: BlockConfig, dtype=jnp.float32) -> Params:
 def block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
                 backend: str | None = None) -> jnp.ndarray:
     """Pre-LN residual block (reference tae.py:128-131)."""
-    if "w_q" in p["mlp"]["fc1"] and not cfg.qk_norm:
+    fc1 = p["mlp"]["fc1"]
+    if ("w_q" in fc1 or "w4" in fc1) and not cfg.qk_norm:
         from tae_tpu.ops.attention import default_backend
 
         if (backend or default_backend()) == "pallas":
@@ -259,14 +284,14 @@ def block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
 
 def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
                      interpret: bool = False) -> jnp.ndarray:
-    """Fully fused int8 serving path for one pre-LN block (w8a8 params from
-    tae_tpu.ops.int8.quantize_params). Every elementwise pass rides a fused
-    kernel: LN+quantize (ln_quant), qkv matmul with dequant epilogue,
-    proj matmul with fused residual add, and the whole MLP+residual in one
-    kernel — no (B, N, 4d) hidden activation and no standalone quantize pass
-    ever touches HBM. Attention itself stays bf16 (its FLOPs are negligible
-    at TAE shapes, SURVEY.md §3.5)."""
-    from tae_tpu.ops.int8 import int8_linear
+    """Fully fused quantized serving path for one pre-LN block (w8a8 params
+    from tae_tpu.ops.int8.quantize_params, or the packed-int4 w4a8 layout of
+    tae_tpu.ops.int4 — dispatched per-leaf, mixed trees fine). Every
+    elementwise pass rides a fused kernel: LN+quantize (ln_quant), qkv
+    matmul with dequant epilogue, proj matmul with fused residual add, and
+    the whole MLP+residual in one kernel — no (B, N, 4d) hidden activation
+    and no standalone quantize pass ever touches HBM. Attention itself stays
+    bf16 (its FLOPs are negligible at TAE shapes, SURVEY.md §3.5)."""
     from tae_tpu.ops.pallas.int8_block import int8_mlp, ln_quant
 
     b, n, c = x.shape
@@ -277,9 +302,8 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     xq, sx = ln_quant(x2, p["norm1"]["scale"], p["norm1"]["bias"],
                       cfg.ln_eps, interpret=interpret)
     a = p["attn"]
-    qkv = int8_linear(xq, a["qkv"]["w_q"], a["qkv"]["w_scale"],
-                      a["qkv"].get("b"), x_scale=sx, out_dtype=x.dtype,
-                      interpret=interpret)
+    qkv = _qlinear(a["qkv"], xq, x_scale=sx, out_dtype=x.dtype,
+                   interpret=interpret)
     # attention emits int8 + per-row scales directly (the proj matmul's
     # input quantization rides the kernel that already holds the output in
     # VMEM — the XLA convert+quantize passes it replaces profiled ~10% of
@@ -320,18 +344,23 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
         y = attention(r[0], r[1], r[2], backend="xla")
         y = y.transpose(0, 2, 1, 3).reshape(b * n, c)
         y_scale = None
-    x2 = int8_linear(y, a["proj"]["w_q"],
-                     a["proj"]["w_scale"], a["proj"].get("b"),
-                     x_scale=y_scale,
-                     backend="pallas" if not interpret else None,
-                     residual=x2, out_dtype=x.dtype, interpret=interpret)
+    x2 = _qlinear(a["proj"], y, x_scale=y_scale,
+                  backend="pallas" if not interpret else None,
+                  residual=x2, out_dtype=x.dtype, interpret=interpret)
     # --- MLP half: x = x + fc2(gelu(fc1(LN(x)))), one kernel ---
     xq2, sx2 = ln_quant(x2, p["norm2"]["scale"], p["norm2"]["bias"],
                         cfg.ln_eps, interpret=interpret)
     f1, f2 = p["mlp"]["fc1"], p["mlp"]["fc2"]
-    x2 = int8_mlp(xq2, sx2, f1["w_q"], f1["w_scale"], f1["b"],
-                  f2["w_q"], f2["w_scale"], f2["b"], residual=x2,
-                  out_dtype=x.dtype, interpret=interpret)
+    if "w4" in f1:
+        from tae_tpu.ops.pallas.int4_block import int4_mlp
+
+        x2 = int4_mlp(xq2, sx2, f1["w4"], f1["w4_scale"], f1["b"],
+                      f2["w4"], f2["w4_scale"], f2["b"], residual=x2,
+                      out_dtype=x.dtype, interpret=interpret)
+    else:
+        x2 = int8_mlp(xq2, sx2, f1["w_q"], f1["w_scale"], f1["b"],
+                      f2["w_q"], f2["w_scale"], f2["b"], residual=x2,
+                      out_dtype=x.dtype, interpret=interpret)
     return x2.reshape(b, n, c)
 
 
@@ -343,7 +372,7 @@ def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,
 
 
 def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
-                 backend: str | None = None, remat: bool = False,
+                 backend: str | None = None, remat: bool | str = False,
                  unroll: bool = False) -> jnp.ndarray:
     """Apply a depth-stacked block stack with ``lax.scan``.
 
@@ -355,7 +384,10 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
 
     ``remat=True`` wraps each layer in ``jax.checkpoint`` so the backward pass
     rematerializes activations instead of storing depth × (B, N, 4d) — the
-    TPU-idiomatic HBM/FLOPs trade for the 2.5B+ configs.
+    TPU-idiomatic HBM/FLOPs trade for the 2.5B+ configs. ``remat="dots"``
+    uses the selective ``checkpoint_dots`` policy instead: matmul outputs are
+    saved and only elementwise work (LN, GELU, softmax) recomputes — less
+    backward recompute at a higher HBM high-water mark.
 
     ``unroll=True`` fully unrolls the layer loop (static weight slices, depth×
     compile time). Measured neutral-to-slightly-negative on v5e encode — the
@@ -368,7 +400,13 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
         return x
     fn = lambda carry, layer: (block_apply(layer, carry, cfg, backend=backend), None)
     if remat:
-        fn = jax.checkpoint(fn, prevent_cse=False)
+        policies = {
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }
+        policy = policies[remat] if isinstance(remat, str) else None
+        fn = jax.checkpoint(fn, prevent_cse=False, policy=policy)
     depth = jax.tree.leaves(stacked)[0].shape[0]
     y, _ = jax.lax.scan(fn, x, stacked, unroll=depth if unroll else 1)
     return y

@@ -110,7 +110,11 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     sx2 = x_scale.reshape(-1, 1) if x_scale is not None else None
     res2 = residual.reshape(-1, n) if residual is not None else None
     m = x2.shape[0]
-    bm = 256 if m >= 256 else 8
+    # one m-block when the batch is small: weight blocks restream once per
+    # m-block, so bm=8 at m=128 streamed the full weight matrix 16x —
+    # measured as the 15 ms p64 batch-8 latency (weights dominate there).
+    # Pad m up to the int8 sublane tile (32) instead.
+    bm = 256 if m >= 256 else -(-m // 32) * 32
     pad = (-m) % bm
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))

@@ -44,7 +44,10 @@ class Tokenizer:
                         ) -> "Tokenizer":
         """``quantization="int8"`` rewrites all linear weights to int8 with
         per-channel scales (w8a8 dynamic serving path, ~2x MXU rate; see
-        tae_tpu.ops.int8)."""
+        tae_tpu.ops.int8). ``quantization="int4"`` packs the transformer-block
+        weights to int4 with group scales (w4a8 — half the weight bytes, for
+        the weight-streaming-bound small-batch regime; coarser code, see
+        tae_tpu.ops.int4 for the accuracy trade)."""
         from tae_tpu import models
         from tae_tpu.ckpt.io import load_params
 
@@ -59,10 +62,15 @@ class Tokenizer:
         params = jax.tree.map(
             lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
             else x, params)
-        if quantization == "int8":
+        if quantization in ("int8", "int4"):
             from tae_tpu.ops.int8 import quantize_params, unstack_blocks
 
-            params = jax.jit(quantize_params)(params)
+            if quantization == "int4":
+                from tae_tpu.ops.int4 import quantize_params_int4
+
+                params = jax.jit(quantize_params_int4)(params)
+            else:
+                params = jax.jit(quantize_params)(params)
             # serving layout: per-layer root buffers instead of depth-stacked
             # scan operands (kills the per-layer dynamic-slice copies Pallas
             # can't alias — measured +10-16% encode; see docs/KERNELS.md)

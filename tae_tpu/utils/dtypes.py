@@ -41,7 +41,8 @@ class Policy:
             # fp32: the kernels consume them in fp32, and squeezing them
             # through bf16 here would layer ~0.4% scale-quantization error
             # onto the int8 path for no bandwidth win (they are (out,)-sized)
-            if path and getattr(path[-1], "key", None) == "w_scale":
+            if path and getattr(path[-1], "key", None) in ("w_scale",
+                                                           "w4_scale"):
                 return x
             return x.astype(self.compute_dtype)
 

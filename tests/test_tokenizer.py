@@ -172,4 +172,47 @@ def test_serving_artifact_roundtrip(tmp_path):
 def test_int8_unknown_mode_rejected():
     with pytest.raises(ValueError, match="quantization"):
         Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
-                                  quantization="int4", **TINY)
+                                  quantization="int2", **TINY)
+
+
+def test_int4_quantized_tokenizer_tracks_fp():
+    """quantization="int4": block linears become packed int4 (half the int8
+    bytes), non-block linears stay int8, latents track fp within the coarser
+    int4 tolerance; serving artifact round-trips."""
+    big = dict(TINY, embed_dim=256)
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                    dtype=jnp.float32, **big)
+    tok4 = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                     dtype=jnp.float32, quantization="int4",
+                                     **big)
+    blocks = tok4.params["encoder"]["blocks"]
+    assert isinstance(blocks, list)
+    blk = blocks[0]
+    fc1 = blk["mlp"]["fc1"]
+    assert fc1["w4"].dtype == jnp.int8
+    assert fc1["w4"].shape == (128, 1024)        # (D/2, H) packed
+    assert fc1["w4_scale"].shape[1] == 1024      # (D/G, H) group scales
+    assert "w4" in blk["attn"]["qkv"]
+    # non-block linears keep the int8 form
+    assert "w_q" in tok4.params["encoder"]["dict_proj"]
+    imgs = np.random.default_rng(3).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    z = np.asarray(tok.encode(imgs), np.float32)
+    z4 = np.asarray(tok4.encode(imgs), np.float32)
+    rel = np.abs(z4 - z).mean() / (np.abs(z).mean() + 1e-9)
+    assert rel < 0.5, rel  # int4 is a coarse code; random-init nets are worst-case
+
+
+def test_int4_serving_artifact_roundtrip(tmp_path):
+    big = dict(TINY, embed_dim=256)
+    tok4 = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                     dtype=jnp.float32, quantization="int4",
+                                     **big)
+    tok4.save_serving(str(tmp_path / "art4"))
+    tok2 = Tokenizer.from_serving("tae_patch16_vocab16_px256",
+                                  str(tmp_path / "art4"), dtype=jnp.float32,
+                                  **big)
+    blk = tok2.params["encoder"]["blocks"][0]
+    assert blk["mlp"]["fc1"]["w4"].dtype == jnp.int8
+    imgs = np.random.default_rng(4).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(tok4.encode(imgs)),
+                                  np.asarray(tok2.encode(imgs)))
