@@ -40,6 +40,9 @@ ENCODE_CONFIGS = [
     ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True, True),
     ("encode_p128_bf16_b1024", "tae_patch128_vocab4096_px256", 1024, False, True),
     ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True, True),
+    # small-batch serving latency regression guard (the bm-restream fix:
+    # 15.0 -> 2.78 ms/batch); reported as img/s, latency = 8000/value ms
+    ("serve_p64_int8_b8", "tae_patch64_vocab4096_px256", 8, True, True),
 ]
 
 
