@@ -302,6 +302,32 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     xq, sx = ln_quant(x2, p["norm1"]["scale"], p["norm1"]["bias"],
                       cfg.ln_eps, interpret=interpret)
     a = p["attn"]
+    import os
+
+    # int8 qkv -> attention chaining at large N: the qkv matmul emits int8
+    # + per-(row, n-block) scales and the attention kernel dequantizes in
+    # VMEM while stacking heads, deleting the bf16 qkv round-trip (~38% of
+    # p16 int8 per-layer bytes). MEASURED AND OFF BY DEFAULT: p16 int8
+    # encode 2048 -> 1885 img/s (-8%) — the per-element dequant during the
+    # (already VPU-bound) head stacking costs more than the saved DMA,
+    # the same VPU-vs-bytes verdict as the int4 path (docs/KERNELS.md).
+    # TAE_TPU_QKV_Q8=1 enables for shape regimes where bytes dominate.
+    use_i8_qkv = (not interpret and n >= _fused_attn_minn()
+                  and "w_q" in a["qkv"] and not cfg.qk_norm
+                  and 512 % dh == 0
+                  and os.environ.get("TAE_TPU_QKV_Q8") == "1")
+    if use_i8_qkv:
+        from tae_tpu.ops.int8 import int8_linear
+        from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_i8
+
+        qkv_q, qkv_s = int8_linear(xq, a["qkv"]["w_q"], a["qkv"]["w_scale"],
+                                   a["qkv"].get("b"), x_scale=sx,
+                                   q8_out=True, interpret=interpret)
+        y = fused_qkv_attention_i8(qkv_q.reshape(b, n, 3 * c), qkv_s, h)
+        x2 = _qlinear(a["proj"], y.reshape(b * n, c),
+                      backend="pallas" if not interpret else None,
+                      residual=x2, out_dtype=x.dtype, interpret=interpret)
+        return _int8_mlp_half(p, x2, cfg, interpret).reshape(b, n, c)
     qkv = _qlinear(a["qkv"], xq, x_scale=sx, out_dtype=x.dtype,
                    interpret=interpret)
     # attention emits int8 + per-row scales directly (the proj matmul's
@@ -347,21 +373,26 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     x2 = _qlinear(a["proj"], y, x_scale=y_scale,
                   backend="pallas" if not interpret else None,
                   residual=x2, out_dtype=x.dtype, interpret=interpret)
-    # --- MLP half: x = x + fc2(gelu(fc1(LN(x)))), one kernel ---
+    return _int8_mlp_half(p, x2, cfg, interpret).reshape(b, n, c)
+
+
+def _int8_mlp_half(p: Params, x2: jnp.ndarray, cfg: BlockConfig,
+                   interpret: bool) -> jnp.ndarray:
+    """x = x + fc2(gelu(fc1(LN(x)))), one fused kernel (int8 or int4)."""
+    from tae_tpu.ops.pallas.int8_block import int8_mlp, ln_quant
+
     xq2, sx2 = ln_quant(x2, p["norm2"]["scale"], p["norm2"]["bias"],
                         cfg.ln_eps, interpret=interpret)
     f1, f2 = p["mlp"]["fc1"], p["mlp"]["fc2"]
     if "w4" in f1:
         from tae_tpu.ops.pallas.int4_block import int4_mlp
 
-        x2 = int4_mlp(xq2, sx2, f1["w4"], f1["w4_scale"], f1["b"],
-                      f2["w4"], f2["w4_scale"], f2["b"], residual=x2,
-                      out_dtype=x.dtype, interpret=interpret)
-    else:
-        x2 = int8_mlp(xq2, sx2, f1["w_q"], f1["w_scale"], f1["b"],
-                      f2["w_q"], f2["w_scale"], f2["b"], residual=x2,
-                      out_dtype=x.dtype, interpret=interpret)
-    return x2.reshape(b, n, c)
+        return int4_mlp(xq2, sx2, f1["w4"], f1["w4_scale"], f1["b"],
+                        f2["w4"], f2["w4_scale"], f2["b"], residual=x2,
+                        out_dtype=x2.dtype, interpret=interpret)
+    return int8_mlp(xq2, sx2, f1["w_q"], f1["w_scale"], f1["b"],
+                    f2["w_q"], f2["w_scale"], f2["b"], residual=x2,
+                    out_dtype=x2.dtype, interpret=interpret)
 
 
 def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,

@@ -83,16 +83,23 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 backend: str | None = None,
                 x_scale: jnp.ndarray | None = None,
                 residual: jnp.ndarray | None = None,
-                out_dtype=None, interpret: bool = False) -> jnp.ndarray:
+                out_dtype=None, q8_out: bool = False,
+                interpret: bool = False):
     """x (..., in) @ int8 weight. Dispatches to the fused Pallas matmul on
     TPU (activation quantization in VMEM, int8 weight streaming, fused
     dequant epilogue); XLA fallback elsewhere.
 
     ``x_scale``: (..., 1) per-row scales for already-int8 x (skips the
     quantize pass entirely — pair with ln_quant). ``residual``: (..., out)
-    added in the epilogue (fused residual connection)."""
+    added in the epilogue (fused residual connection). ``q8_out``: emit
+    ``(int8 y, (out/512, M, 1) fp32 per-(row, n-block) scales)`` instead of
+    a float array — for consumers that dequantize in VMEM (the int8-input
+    attention kernels); Pallas path only."""
     from tae_tpu.ops.attention import default_backend
 
+    assert not (q8_out and interpret is False
+                and (backend or default_backend()) != "pallas"), \
+        "q8_out requires the Pallas path"
     if not interpret and (backend or default_backend()) != "pallas":
         if x_scale is not None:
             x = x.astype(jnp.float32) * x_scale  # dequantize, then requantize
@@ -130,7 +137,13 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                           block_n=_block(n, 512), block_k=_block_k(k),
                           out_dtype=out_dtype or (x.dtype if x_scale is None
                                                   else jnp.bfloat16),
-                          x_scale=sx2, residual=res2, interpret=interpret)
+                          x_scale=sx2, residual=res2, q8_out=q8_out,
+                          interpret=interpret)
+    if q8_out:
+        yq, ys = y
+        if pad:
+            yq, ys = yq[:m], ys[:, :m]
+        return yq.reshape(*lead, n), ys
     if pad:
         y = y[:m]
     return y.reshape(*lead, n)

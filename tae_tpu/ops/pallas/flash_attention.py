@@ -272,6 +272,71 @@ def _packed_wide_fwd_kernel_stacked(qkv_ref, o_ref, *, h: int, scale: float,
                 o[j * bb:(j + 1) * bb].astype(o_ref.dtype)
 
 
+def _packed_fwd_kernel_stacked_i8(qkv_ref, s_ref, o_ref, *, h: int,
+                                  scale: float, bn: int):
+    """Head-stacked per-batch kernel consuming int8 qkv with per-(row,
+    n-block) scales (the ``q8_out`` epilogue of the qkv matmul,
+    tae_tpu.ops.pallas.int8_matmul). Dequantization happens during the head
+    stacking the kernel already pays for, so the bf16 qkv activation never
+    exists in HBM — at p16 that round-trip (write + attention read) was
+    ~38% of the int8 path's per-layer bytes. Requires dh | bn so every
+    head's columns share one scale block (true for all N>=128 configs:
+    dh=64)."""
+    x = qkv_ref[0]                                  # (N, 3C) int8
+    sc = s_ref[:]                                   # (n_nb, N, 1) f32
+    c = x.shape[1] // 3
+    dh = c // h
+
+    def deq(col0):
+        sl = x[:, col0:col0 + dh].astype(jnp.float32) * sc[col0 // bn]
+        return sl.astype(jnp.bfloat16)
+
+    qs = jnp.stack([deq(i * dh) for i in range(h)])
+    ks = jnp.stack([deq(c + i * dh) for i in range(h)])
+    vs = jnp.stack([deq(2 * c + i * dh) for i in range(h)])
+    s = jax.lax.dot_general(qs, ks, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32) * scale
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(vs.dtype), vs,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o = o / l
+    for i in range(h):
+        o_ref[0, :, i * dh:(i + 1) * dh] = o[i].astype(o_ref.dtype)
+
+
+def fused_qkv_attention_i8(qkv_q, scales, num_heads: int,
+                           scale: float | None = None,
+                           interpret: bool = False):
+    """(B, N, 3C) int8 qkv + (n_nb, B·N, 1) scales -> (B, N, C) bf16."""
+    b, n, c3 = qkv_q.shape
+    c = c3 // 3
+    if scale is None:
+        scale = (c // num_heads) ** -0.5
+    n_nb = scales.shape[0]
+    bn = c3 // n_nb
+    if bn % (c // num_heads):
+        raise ValueError(f"head dim {c // num_heads} must divide the scale "
+                         f"block {bn}")
+    return pl.pallas_call(
+        functools.partial(_packed_fwd_kernel_stacked_i8, h=num_heads,
+                          scale=float(scale), bn=bn),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, n, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_nb, n, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.bfloat16),
+        interpret=interpret,
+    )(qkv_q, scales.reshape(n_nb, b * n, 1))
+
+
 def _packed_fwd_kernel_stacked_q8(qkv_ref, oq_ref, s_ref, *, h: int,
                                   scale: float):
     """Serving variant of _packed_fwd_kernel_stacked that emits int8 output

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, res_ref, o_ref, acc_ref, *,
             n_k: int, has_bias: bool, has_residual: bool,
-            quantize_in_kernel: bool):
+            quantize_in_kernel: bool, q8_out: bool = False, so_ref=None):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -53,7 +53,17 @@ def _kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, res_ref, o_ref, acc_ref, *,
             y = y + b_ref[:].astype(jnp.float32)
         if has_residual:
             y = y + res_ref[:].astype(jnp.float32)
-        o_ref[:] = y.astype(o_ref.dtype)
+        if q8_out:
+            # int8 output with one scale per (row, n-block): the consumer
+            # dequantizes in VMEM — the bf16 round-trip this deletes was
+            # the qkv activation write+read (~38% of p16 int8 layer bytes)
+            s = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+                            / 127.0, 1e-12)
+            o_ref[:] = jnp.clip(jnp.round(y * pl.reciprocal(s, approx=False)),
+                                -127.0, 127.0).astype(jnp.int8)
+            so_ref[0] = s
+        else:
+            o_ref[:] = y.astype(o_ref.dtype)
 
 
 def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
@@ -63,7 +73,8 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                       prequantize: bool = True,
                       x_scale: jnp.ndarray | None = None,
                       residual: jnp.ndarray | None = None,
-                      interpret: bool = False) -> jnp.ndarray:
+                      q8_out: bool = False,
+                      interpret: bool = False):
     """x (M, K) float, w_q (K, N) int8, w_scale (N,) -> (M, N).
 
     ``prequantize=True`` (default) quantizes x to int8 once with a cheap XLA
@@ -107,10 +118,31 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     res_map = (lambda i, j, kk: (i, j)) if has_residual \
         else (lambda i, j, kk: (0, j))
 
+    qik = x_scale is None and not prequantize
+    if q8_out:
+        body = lambda xr, wr, sxr, swr, br, rr, or_, sor, accr: _kernel(  # noqa: E731
+            xr, wr, sxr, swr, br, rr, or_, accr, n_k=n_k, has_bias=has_bias,
+            has_residual=has_residual, quantize_in_kernel=qik,
+            q8_out=True, so_ref=sor)
+        out_specs = [
+            pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+            # per-(row, n-block) scales: n-block index rides the LEADING
+            # output dim (a (bm, 1) lane block is legal; (bm,) per j isn't)
+            pl.BlockSpec((1, block_m, 1), lambda i, j, kk: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((m, n), jnp.int8),
+                     jax.ShapeDtypeStruct((n // block_n, m, 1), jnp.float32)]
+    else:
+        body = functools.partial(_kernel, n_k=n_k, has_bias=has_bias,
+                                 has_residual=has_residual,
+                                 quantize_in_kernel=qik)
+        out_specs = pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((m, n), out_dtype)
     return pl.pallas_call(
-        functools.partial(_kernel, n_k=n_k, has_bias=has_bias,
-                          has_residual=has_residual,
-                          quantize_in_kernel=x_scale is None and not prequantize),
+        body,
         grid=(m // block_m, n // block_n, n_k),
         in_specs=[
             pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
@@ -126,9 +158,8 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
             pl.BlockSpec((res_bm, block_n), res_map,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),

@@ -566,3 +566,61 @@ def test_int4_block_apply_matches_float_block():
     assert got.shape == ref.shape and got.dtype == ref.dtype
     rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
     assert rel < 0.15, rel
+
+
+def test_int8_matmul_q8_out_roundtrip():
+    """q8_out epilogue: dequantized (int8, per-(row, n-block) scales) output
+    matches the float output within one quantization step per block."""
+    from tae_tpu.ops.int8 import quantize_weight
+    from tae_tpu.ops.pallas.int8_matmul import int8_matmul_fused
+
+    rng = np.random.default_rng(20)
+    m, k, n, bn = 32, 256, 384, 128
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.1)
+    wq, sw = quantize_weight(w)
+    ref = np.asarray(int8_matmul_fused(x, wq, sw, b, block_m=16, block_n=bn,
+                                       block_k=128, out_dtype=jnp.float32,
+                                       interpret=True))
+    yq, ys = int8_matmul_fused(x, wq, sw, b, block_m=16, block_n=bn,
+                               block_k=128, q8_out=True, interpret=True)
+    assert yq.dtype == jnp.int8 and ys.shape == (n // bn, m, 1)
+    deq = np.zeros((m, n), np.float32)
+    for j in range(n // bn):
+        deq[:, j * bn:(j + 1) * bn] = (np.asarray(yq[:, j * bn:(j + 1) * bn],
+                                                  np.float32)
+                                       * np.asarray(ys)[j])
+    step = np.asarray(ys).max()
+    np.testing.assert_allclose(deq, ref, atol=step * 0.51 + 1e-6)
+
+
+def test_fused_qkv_attention_i8_matches_float():
+    """int8-input attention (dequant during head stacking) matches the
+    float path within the input quantization error."""
+    from tae_tpu.ops.attention import attention_xla
+    from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_i8
+
+    rng = np.random.default_rng(21)
+    bsz, n, h, dh = 2, 32, 4, 64
+    c = h * dh
+    qkv = rng.standard_normal((bsz, n, 3 * c)).astype(np.float32)
+    bn = 128
+    n_nb = 3 * c // bn
+    # quantize per (row, n-block) the way the q8_out epilogue does
+    q2 = qkv.reshape(bsz * n, 3 * c)
+    ys = np.zeros((n_nb, bsz * n, 1), np.float32)
+    qq = np.zeros_like(q2, np.int8)
+    for j in range(n_nb):
+        blk = q2[:, j * bn:(j + 1) * bn]
+        s = np.maximum(np.abs(blk).max(axis=1, keepdims=True) / 127.0, 1e-12)
+        qq[:, j * bn:(j + 1) * bn] = np.clip(np.round(blk / s), -127, 127)
+        ys[j] = s
+    got = fused_qkv_attention_i8(jnp.asarray(qq).reshape(bsz, n, 3 * c),
+                                 jnp.asarray(ys), h, interpret=True)
+    r = qkv.reshape(bsz, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
+    ref = np.asarray(attention_xla(jnp.asarray(r[0]), jnp.asarray(r[1]),
+                                   jnp.asarray(r[2])))
+    ref = ref.transpose(0, 2, 1, 3).reshape(bsz, n, c)
+    rel = np.abs(np.asarray(got, np.float32) - ref).mean() / np.abs(ref).mean()
+    assert rel < 0.02, rel
