@@ -29,6 +29,20 @@ from tae_tpu.utils.dtypes import Policy
 Params = Any
 
 
+def prune_component(params: Params, component: str) -> Params:
+    """Drop the unused half of a TAE param tree: ``component="encoder"``
+    removes the decoder sub-tree (encode-only serving — halves resident
+    weight HBM for the 3.4-4B configs), ``"decoder"`` the encoder,
+    ``"both"`` keeps everything. The shared codebook (VQ superset) is
+    always kept."""
+    if component == "both":
+        return params
+    if component not in ("encoder", "decoder"):
+        raise ValueError(f"unknown component {component!r}")
+    drop = "decoder" if component == "encoder" else "encoder"
+    return {k: v for k, v in params.items() if k != drop}
+
+
 @dataclasses.dataclass
 class Tokenizer:
     model: Any                      # tae_tpu.models.tae.TAE
@@ -40,14 +54,20 @@ class Tokenizer:
     @classmethod
     def from_checkpoint(cls, model_name: str, ckpt: str | None = None,
                         dtype=jnp.bfloat16, mesh=None,
-                        quantization: str | None = None, **model_overrides
+                        quantization: str | None = None,
+                        component: str = "both", **model_overrides
                         ) -> "Tokenizer":
         """``quantization="int8"`` rewrites all linear weights to int8 with
         per-channel scales (w8a8 dynamic serving path, ~2x MXU rate; see
         tae_tpu.ops.int8). ``quantization="int4"`` packs the transformer-block
         weights to int4 with group scales (w4a8 — half the weight bytes, for
         the weight-streaming-bound small-batch regime; coarser code, see
-        tae_tpu.ops.int4 for the accuracy trade)."""
+        tae_tpu.ops.int4 for the accuracy trade).
+
+        ``component``: "both" (default), "encoder" or "decoder" — prune the
+        unused half after loading. An encode-only deployment of the 3.4-4B
+        configs halves resident weight HBM (and the serving artifact), which
+        compounds with int8/int4; calling the pruned direction raises."""
         from tae_tpu import models
         from tae_tpu.ckpt.io import load_params
 
@@ -62,6 +82,9 @@ class Tokenizer:
         params = jax.tree.map(
             lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
             else x, params)
+        # prune before quantization so the quantize pass never materializes
+        # copies of the dropped half
+        params = prune_component(params, component)
         if quantization in ("int8", "int4"):
             from tae_tpu.ops.int8 import quantize_params, unstack_blocks
 
@@ -101,10 +124,14 @@ class Tokenizer:
         """(B, 3, H, W) -> (B, N, vocab) latents. Accepts normalized float
         batches (the data layer's default) or raw uint8 pixel batches
         (normalized on device)."""
+        if "encoder" not in self.params:
+            raise ValueError("encoder was pruned (component='decoder')")
         return self._encode(self.params, jnp.asarray(images))
 
     def decode(self, latents) -> jax.Array:
         """(B, N, vocab) latents -> (B, 3, H, W) reconstructions."""
+        if "decoder" not in self.params:
+            raise ValueError("decoder was pruned (component='encoder')")
         return self._decode(self.params, jnp.asarray(latents))
 
     def reconstruct(self, images) -> jax.Array:
@@ -141,7 +168,7 @@ class Tokenizer:
 
     @classmethod
     def from_serving(cls, model_name: str, path: str, dtype=None,
-                     **model_overrides) -> "Tokenizer":
+                     component: str = "both", **model_overrides) -> "Tokenizer":
         """Load a :meth:`save_serving` artifact (no re-quantization).
 
         ``dtype=None`` (default) restores the compute dtype recorded by
@@ -158,6 +185,7 @@ class Tokenizer:
                              "(use from_checkpoint for training checkpoints)")
         if dtype is None:
             dtype = jnp.dtype(meta.get("compute_dtype", "bfloat16"))
+        params = prune_component(params, component)
         return cls(model=model, params=params,
                    policy=Policy(param_dtype=dtype, compute_dtype=dtype))
 

@@ -216,3 +216,44 @@ def test_int4_serving_artifact_roundtrip(tmp_path):
     imgs = np.random.default_rng(4).standard_normal((2, 3, 64, 64)).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(tok4.encode(imgs)),
                                   np.asarray(tok2.encode(imgs)))
+
+
+def test_component_pruning():
+    """component="encoder" drops the decoder (half the resident weights),
+    encode matches the full tokenizer exactly, decode raises; serving
+    artifact round-trips pruned."""
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                    dtype=jnp.float32, **TINY)
+    tok_e = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                      dtype=jnp.float32, component="encoder",
+                                      **TINY)
+    assert "decoder" not in tok_e.params and "encoder" in tok_e.params
+    imgs = np.random.default_rng(5).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(tok.encode(imgs)),
+                                  np.asarray(tok_e.encode(imgs)))
+    with pytest.raises(ValueError, match="decoder was pruned"):
+        tok_e.decode(np.zeros((1, 16, 16), np.float32))
+    tok_d = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                      dtype=jnp.float32, component="decoder",
+                                      **TINY)
+    with pytest.raises(ValueError, match="encoder was pruned"):
+        tok_d.encode(imgs)
+    z = tok.encode(imgs)
+    np.testing.assert_array_equal(np.asarray(tok.decode(z)),
+                                  np.asarray(tok_d.decode(z)))
+    with pytest.raises(ValueError, match="unknown component"):
+        Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                  component="middle", **TINY)
+
+
+def test_component_pruned_serving_artifact(tmp_path):
+    tok_e = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                      dtype=jnp.float32, quantization="int8",
+                                      component="encoder", **TINY)
+    tok_e.save_serving(str(tmp_path / "enc_art"))
+    tok2 = Tokenizer.from_serving("tae_patch16_vocab16_px256",
+                                  str(tmp_path / "enc_art"), **TINY)
+    assert "decoder" not in tok2.params
+    imgs = np.random.default_rng(6).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(tok_e.encode(imgs)),
+                                  np.asarray(tok2.encode(imgs)))
