@@ -149,6 +149,87 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     return y.reshape(*lead, n)
 
 
+def equalize_params(params: Params, alpha: float = 0.5,
+                    act_amax: Params | None = None) -> Params:
+    """SmoothQuant-style activation-outlier equalization on the FLOAT param
+    tree, applied before :func:`quantize_params` (shared by the int8 w8a8 and
+    int4 w4a8 paths — both quantize activations per-row, so one huge channel
+    sets every other channel's step size).
+
+    Every pre-LN pair in the tree — (norm1 → attn.qkv) and (norm2 → mlp.fc1)
+    inside transformer blocks, plus the final (norm → dict_proj/pred/head)
+    pairs — is rewritten with per-input-channel factors ``s``::
+
+        gamma' = gamma / s      beta' = beta / s      W'[c, :] = s_c · W[c, :]
+
+    which is mathematically exact (``LN'(x) @ W' == LN(x) @ W`` in real
+    arithmetic; bf16 forward changes only by rounding) while the activation
+    quantizer sees a per-channel-flattened range.
+
+    ``s_c = amax_x(c)^alpha / amax_w(c)^(1-alpha)`` (SmoothQuant eq. 4,
+    arXiv:2211.10438). ``amax_x`` comes from ``act_amax`` when given — a tree
+    of the same structure as ``params`` where each *linear* dict that should
+    be equalized carries an ``(…, in)`` per-channel activation amax under
+    ``"x_amax"`` — and otherwise from the LN affine itself (``|gamma| +
+    |beta|``): LN output channels are proportional to ``gamma`` in
+    expectation (the row-normalized ``z`` is ~unit-scale per channel), so the
+    affine predicts the outlier channels without any calibration data.
+    Channels with degenerate stats keep ``s = 1``.
+
+    The reference has no quantized path (serving superset; reference
+    encode.py:76-91 runs fp16 autocast)."""
+
+    def factors(ax, w):
+        aw = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1)  # (…, in)
+        s = ax ** alpha / jnp.maximum(aw, 1e-12) ** (1.0 - alpha)
+        ok = (ax > 1e-6) & (aw > 1e-12) & jnp.isfinite(s)
+        return jnp.where(ok, jnp.clip(s, 1e-4, 1e4), 1.0)
+
+    def equalize(norm, lin, lin_amax):
+        g, b = norm["scale"], norm["bias"]
+        if lin_amax is not None and "x_amax" in lin_amax:
+            ax = lin_amax["x_amax"].astype(jnp.float32)
+        else:
+            ax = jnp.abs(g.astype(jnp.float32)) + jnp.abs(b.astype(jnp.float32))
+        s = factors(ax, lin["w"])
+        norm2 = {"scale": (g / s).astype(g.dtype), "bias": (b / s).astype(b.dtype)}
+        lin2 = dict(lin)
+        lin2["w"] = (lin["w"].astype(jnp.float32) * s[..., None]).astype(lin["w"].dtype)
+        return norm2, lin2
+
+    def sub(stats, key):
+        return stats.get(key) if isinstance(stats, dict) else None
+
+    def walk(node, stats):
+        if not isinstance(node, dict):
+            return node
+        out = dict(node)
+        if "norm1" in node and "attn" in node and "w" in node["attn"].get("qkv", {}):
+            out["attn"] = dict(node["attn"])
+            out["norm1"], out["attn"]["qkv"] = equalize(
+                node["norm1"], node["attn"]["qkv"], sub(sub(stats, "attn"), "qkv"))
+        if "norm2" in node and "w" in node.get("mlp", {}).get("fc1", {}):
+            out["mlp"] = dict(node["mlp"])
+            out["norm2"], out["mlp"]["fc1"] = equalize(
+                node["norm2"], node["mlp"]["fc1"], sub(sub(stats, "mlp"), "fc1"))
+        if "norm" in node and isinstance(node["norm"], dict) \
+                and "scale" in node["norm"]:
+            for head in ("dict_proj", "pred", "head"):
+                if "w" in node.get(head, {}):
+                    out["norm"], out[head] = equalize(
+                        node["norm"], node[head], sub(stats, head))
+                    break
+        for k, v in node.items():
+            if k not in ("norm1", "attn", "norm2", "mlp", "norm",
+                         "dict_proj", "pred", "head"):
+                out[k] = walk(v, sub(stats, k))
+            elif k in ("attn", "mlp") and out[k] is node[k]:
+                out[k] = walk(v, sub(stats, k))
+        return out
+
+    return walk(params, act_amax)
+
+
 def unstack_blocks(params: Params, key: str = "blocks") -> Params:
     """Rewrite every depth-stacked ``blocks`` sub-tree into a list of
     per-layer trees (serving layout: each layer's weights become root

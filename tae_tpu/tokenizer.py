@@ -55,8 +55,9 @@ class Tokenizer:
     def from_checkpoint(cls, model_name: str, ckpt: str | None = None,
                         dtype=jnp.bfloat16, mesh=None,
                         quantization: str | None = None,
-                        component: str = "both", **model_overrides
-                        ) -> "Tokenizer":
+                        component: str = "both",
+                        equalize: float | bool | None = None,
+                        **model_overrides) -> "Tokenizer":
         """``quantization="int8"`` rewrites all linear weights to int8 with
         per-channel scales (w8a8 dynamic serving path, ~2x MXU rate; see
         tae_tpu.ops.int8). ``quantization="int4"`` packs the transformer-block
@@ -67,7 +68,14 @@ class Tokenizer:
         ``component``: "both" (default), "encoder" or "decoder" — prune the
         unused half after loading. An encode-only deployment of the 3.4-4B
         configs halves resident weight HBM (and the serving artifact), which
-        compounds with int8/int4; calling the pruned direction raises."""
+        compounds with int8/int4; calling the pruned direction raises.
+
+        ``equalize``: SmoothQuant-style activation-outlier equalization
+        before quantization (``True`` → alpha 0.5, or pass the alpha) — an
+        exact float rewrite folding per-channel factors into the LN affines,
+        so outlier channels stop dominating the per-row activation scales
+        (see :func:`tae_tpu.ops.int8.equalize_params`). Only meaningful with
+        ``quantization`` set."""
         from tae_tpu import models
         from tae_tpu.ckpt.io import load_params
 
@@ -86,8 +94,12 @@ class Tokenizer:
         # copies of the dropped half
         params = prune_component(params, component)
         if quantization in ("int8", "int4"):
-            from tae_tpu.ops.int8 import quantize_params, unstack_blocks
+            from tae_tpu.ops.int8 import (equalize_params, quantize_params,
+                                          unstack_blocks)
 
+            if equalize:
+                alpha = 0.5 if equalize is True else float(equalize)
+                params = jax.jit(lambda p: equalize_params(p, alpha))(params)
             if quantization == "int4":
                 from tae_tpu.ops.int4 import quantize_params_int4
 

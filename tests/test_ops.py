@@ -624,3 +624,97 @@ def test_fused_qkv_attention_i8_matches_float():
     ref = ref.transpose(0, 2, 1, 3).reshape(bsz, n, c)
     rel = np.abs(np.asarray(got, np.float32) - ref).mean() / np.abs(ref).mean()
     assert rel < 0.02, rel
+
+
+# ---------------------------------------------------------------------------
+# SmoothQuant-style equalization (ops/int8.equalize_params)
+# ---------------------------------------------------------------------------
+
+def _tiny_tae_params(outlier: float = 1.0, seed: int = 0):
+    from tae_tpu import models
+
+    model = models.create("tae_patch16_vocab16_px256", img_size=64,
+                          embed_dim=64, depth=2, num_heads=4,
+                          decoder_embed_dim=64, decoder_depth=2,
+                          decoder_num_heads=4)
+    params = model.init(jax.random.key(seed))
+    if outlier != 1.0:
+        # inject per-channel activation outliers the way trained transformers
+        # grow them: a few LN affine channels much larger than the rest.
+        # norm2 (the MLP pair) only: outlier channels in norm1 saturate the
+        # attention softmax, and a near-argmax softmax amplifies ANY
+        # perturbation chaotically — which would swamp what this fixture is
+        # meant to isolate (quantization error).
+        for half in ("encoder", "decoder"):
+            blk = params[half]["blocks"]
+            g = np.array(blk["norm2"]["scale"])
+            g[:, ::13] *= outlier
+            blk["norm2"]["scale"] = jnp.asarray(g)
+    return model, params
+
+
+def test_equalize_params_is_exact_in_float():
+    """The equalization rewrite is mathematically exact: the float forward
+    is unchanged (up to fp32 rounding) while LN scales get flattened."""
+    from tae_tpu.ops.int8 import equalize_params
+
+    model, params = _tiny_tae_params(outlier=37.0)
+    eq = equalize_params(params, alpha=0.5)
+    from tae_tpu.utils.dtypes import Policy
+
+    pol = Policy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+    imgs = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 3, 64, 64)).astype(np.float32))
+    loss0, pred0 = model.forward(params, imgs, policy=pol)
+    loss1, pred1 = model.forward(eq, imgs, policy=pol)
+    p0, p1 = np.asarray(pred0), np.asarray(pred1)
+    # fp32-rounding-level agreement, relative to the output magnitude (the
+    # injected 37x outliers amplify absolute values)
+    assert np.abs(p1 - p0).max() <= 1e-4 * np.abs(p0).max()
+    # the rewrite actually happened: LN scale spread shrank
+    g0 = np.abs(np.asarray(params["encoder"]["blocks"]["norm2"]["scale"]))
+    g1 = np.abs(np.asarray(eq["encoder"]["blocks"]["norm2"]["scale"]))
+    assert g1.max() / g1.mean() < g0.max() / g0.mean()
+
+
+def test_equalize_params_improves_int8_accuracy_on_outliers():
+    """With injected LN-channel outliers, per-row activation quantization
+    loses most of its code range to the outlier channels; equalization
+    recovers it (the SmoothQuant effect, arXiv:2211.10438)."""
+    from tae_tpu.ops.int8 import equalize_params, quantize_params
+
+    from tae_tpu.utils.dtypes import Policy
+
+    pol = Policy(param_dtype=jnp.float32, compute_dtype=jnp.float32)
+    model, params = _tiny_tae_params(outlier=37.0)
+    imgs = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 3, 64, 64)).astype(np.float32))
+    z_fp = np.asarray(model.forward_encoder(params, imgs, policy=pol))
+    scale = np.abs(z_fp).max() + 1e-9
+
+    z_q = np.asarray(model.forward_encoder(quantize_params(params), imgs,
+                                           policy=pol))
+    z_eq = np.asarray(model.forward_encoder(
+        quantize_params(equalize_params(params, alpha=0.5)), imgs, policy=pol))
+    err_q = np.abs(z_q - z_fp).max() / scale
+    err_eq = np.abs(z_eq - z_fp).max() / scale
+    assert err_eq < err_q / 2, (err_q, err_eq)
+
+
+def test_equalize_params_calibrated_stats_override_proxy():
+    """act_amax trees (true calibration stats) replace the LN-affine proxy."""
+    from tae_tpu.ops.int8 import equalize_params
+
+    model, params = _tiny_tae_params()
+    d = params["encoder"]["blocks"]["norm1"]["scale"].shape
+    stats = {"encoder": {"blocks": {"attn": {"qkv": {
+        "x_amax": jnp.full(d, 3.0, jnp.float32)}}}}}
+    eq_proxy = equalize_params(params, alpha=0.5)
+    eq_cal = equalize_params(params, alpha=0.5, act_amax=stats)
+    a = np.asarray(eq_proxy["encoder"]["blocks"]["attn"]["qkv"]["w"])
+    b = np.asarray(eq_cal["encoder"]["blocks"]["attn"]["qkv"]["w"])
+    assert not np.allclose(a, b)
+    # un-calibrated pairs keep the proxy rewrite
+    a2 = np.asarray(eq_proxy["encoder"]["blocks"]["mlp"]["fc1"]["w"])
+    b2 = np.asarray(eq_cal["encoder"]["blocks"]["mlp"]["fc1"]["w"])
+    np.testing.assert_allclose(a2, b2)
