@@ -57,6 +57,7 @@ class Tokenizer:
                         quantization: str | None = None,
                         component: str = "both",
                         equalize: float | bool | None = None,
+                        act_amax=None, calib_images=None,
                         **model_overrides) -> "Tokenizer":
         """``quantization="int8"`` rewrites all linear weights to int8 with
         per-channel scales (w8a8 dynamic serving path, ~2x MXU rate; see
@@ -75,7 +76,11 @@ class Tokenizer:
         exact float rewrite folding per-channel factors into the LN affines,
         so outlier channels stop dominating the per-row activation scales
         (see :func:`tae_tpu.ops.int8.equalize_params`). Only meaningful with
-        ``quantization`` set."""
+        ``quantization`` set. By default the per-channel activation ranges
+        are estimated from the LN affines; pass measured stats via
+        ``act_amax`` (a :func:`tae_tpu.calibrate.ln_amax` tree) or let
+        ``calib_images`` — an iterable of image batches — run that
+        calibration here on the float params before quantizing."""
         from tae_tpu import models
         from tae_tpu.ckpt.io import load_params
 
@@ -99,7 +104,14 @@ class Tokenizer:
 
             if equalize:
                 alpha = 0.5 if equalize is True else float(equalize)
-                params = jax.jit(lambda p: equalize_params(p, alpha))(params)
+                if calib_images is not None and act_amax is None:
+                    from tae_tpu.calibrate import ln_amax
+
+                    act_amax = ln_amax(model, params, calib_images)
+                params = jax.jit(
+                    lambda p, a: equalize_params(p, alpha, act_amax=a)
+                )(params, act_amax) if act_amax is not None else jax.jit(
+                    lambda p: equalize_params(p, alpha))(params)
             if quantization == "int4":
                 from tae_tpu.ops.int4 import quantize_params_int4
 
