@@ -96,10 +96,13 @@ def int4_matmul_fused(x: jnp.ndarray, w4: jnp.ndarray, w_scale: jnp.ndarray,
         xq, sx = x, x_scale
     else:
         out_dtype = out_dtype or x.dtype
-        x32 = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0,
-                         1e-12)
-        xq = jnp.clip(jnp.round(x32 / sx), -127.0, 127.0).astype(jnp.int8)
+        # reduce |x| in the input dtype so the f32 convert fuses into the
+        # quantize loop instead of materializing (see int8_matmul.py)
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=1, keepdims=True).astype(jnp.float32)
+            / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                      -127.0, 127.0).astype(jnp.int8)
 
     has_bias = bias is not None
     b_arg = bias.reshape(1, n) if has_bias else jnp.zeros((1, n), jnp.float32)

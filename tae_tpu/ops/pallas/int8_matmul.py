@@ -103,12 +103,22 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         sx = x_scale
     else:
         out_dtype = out_dtype or x.dtype
-        # per-row symmetric scales (one cheap fused reduce in XLA)
-        x32 = x.astype(jnp.float32)
-        sx = jnp.max(jnp.abs(x32), axis=1, keepdims=True) / 127.0
+        # per-row symmetric scales: reduce |x| in the INPUT dtype (abs/max is
+        # exact in bf16, so sx is bit-identical to the f32-converted form) and
+        # convert inside the quantize expression — a shared pre-converted x32
+        # made XLA materialize the full f32 activation as a separate pass
+        # (profiled 1.7 ms/layer at p16, ~5% of int8 encode); inline, the
+        # convert fuses into the round/clip/s8 loop and x is read as bf16
+        sx = jnp.max(jnp.abs(x), axis=1, keepdims=True).astype(jnp.float32) / 127.0
         sx = jnp.maximum(sx, 1e-12)
         if prequantize:
-            x = jnp.clip(jnp.round(x32 / sx), -127.0, 127.0).astype(jnp.int8)
+            # the barrier keeps this convert from CSE-merging with the amax
+            # reduce's internal convert — merged, XLA materializes the full
+            # f32 activation as a fusion output (an extra (M, K) f32 HBM
+            # round-trip); distinct, it fuses into the round/clip/s8 loop
+            xb = jax.lax.optimization_barrier(x)
+            x = jnp.clip(jnp.round(xb.astype(jnp.float32) / sx),
+                         -127.0, 127.0).astype(jnp.int8)
 
     has_bias = bias is not None
     b_arg = bias.reshape(1, n) if has_bias else jnp.zeros((1, n), jnp.float32)
