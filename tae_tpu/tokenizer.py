@@ -98,6 +98,13 @@ class Tokenizer:
         # prune before quantization so the quantize pass never materializes
         # copies of the dropped half
         params = prune_component(params, component)
+        if (act_amax is not None or calib_images is not None) and not equalize:
+            raise ValueError("act_amax/calib_images require equalize= "
+                             "(they feed the equalization rewrite)")
+        if equalize and quantization not in ("int8", "int4"):
+            raise ValueError("equalize= only applies to the quantized "
+                             "serving modes (it rewrites ranges the bf16 "
+                             "path never quantizes)")
         if quantization in ("int8", "int4"):
             from tae_tpu.ops.int8 import (equalize_params, quantize_params,
                                           unstack_blocks)

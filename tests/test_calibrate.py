@@ -97,3 +97,16 @@ def test_tokenizer_calib_images_path():
     a = np.asarray(tok.params["encoder"]["blocks"][0]["attn"]["qkv"]["w_q"])
     b = np.asarray(tok_p.params["encoder"]["blocks"][0]["attn"]["qkv"]["w_q"])
     assert not np.array_equal(a, b)
+
+
+def test_tokenizer_rejects_orphan_calibration_args():
+    import pytest
+
+    with pytest.raises(ValueError, match="require equalize"):
+        Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                  quantization="int8",
+                                  calib_images=[np.zeros((1, 3, 64, 64))],
+                                  **TINY)
+    with pytest.raises(ValueError, match="only applies to the quantized"):
+        Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                  equalize=0.5, **TINY)
