@@ -62,6 +62,13 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="native decoder writes pre-patchified (N, C*p*p) "
                         "batches so patch embedding is a pure matmul with "
                         "zero on-device relayout")
+    p.add_argument("--equalize", type=float, default=0.0,
+                   help="SmoothQuant-style activation-outlier equalization "
+                        "alpha (0 = off; 0.5 typical) applied to the float "
+                        "params before --quantization — an exact LN-affine "
+                        "fold, zero runtime cost (tae_tpu.ops.int8."
+                        "equalize_params; pass measured stats via the "
+                        "library API for calibrated equalization)")
     p.add_argument("--quantization", default=None, choices=["int8", "int4"],
                    help="opt-in quantized serving path: int8 = w8a8 fused "
                         "Pallas block kernels (+25-47%% measured encode "
@@ -256,9 +263,16 @@ def main(args) -> dict:
     from tae_tpu.tokenizer import prune_component
 
     params = prune_component(params, "encoder")
+    if args.equalize and args.quantization not in ("int8", "int4"):
+        raise SystemExit("--equalize requires --quantization int8/int4")
     if args.quantization in ("int8", "int4"):
         from tae_tpu.ops.int8 import quantize_params, unstack_blocks
 
+        if args.equalize:
+            from tae_tpu.ops.int8 import equalize_params
+
+            params = jax.jit(
+                lambda p: equalize_params(p, args.equalize))(params)
         if args.quantization == "int4":
             from tae_tpu.ops.int4 import quantize_params_int4 as quantize_params
 

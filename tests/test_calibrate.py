@@ -110,3 +110,14 @@ def test_tokenizer_rejects_orphan_calibration_args():
     with pytest.raises(ValueError, match="only applies to the quantized"):
         Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
                                   equalize=0.5, **TINY)
+
+
+def test_int4_equalized_tokenizer_encodes():
+    """equalize_params is shared by the int4 w4a8 path (same float-tree
+    rewrite before packing)."""
+    imgs = np.random.default_rng(4).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    tok4 = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                     dtype=jnp.float32, quantization="int4",
+                                     equalize=0.5, **TINY)
+    z = np.asarray(tok4.encode(imgs))
+    assert np.isfinite(z).all() and z.shape == (2, 16, 16)

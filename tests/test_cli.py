@@ -310,3 +310,23 @@ def test_cross_mesh_checkpoint_restore(tmp_path):
     # restored leaves carry mesh_b shardings
     qkv = restored["encoder"]["blocks"]["attn"]["qkv"]["w"]
     assert qkv.sharding.mesh.shape["tensor"] == 4
+
+
+def test_encode_cli_equalized_int8(data, tmp_path):
+    """--equalize folds the SmoothQuant rewrite into the CLI serving path."""
+    from tae_tpu.cli import encode as cli_encode
+
+    out = tmp_path / "enc_eq"
+    out.mkdir()
+    args = cli_encode.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size", "16",
+        "--num_iters", "100", "--num_workers", "0", "--shard_size", "64",
+        "--quantization", "int8", "--equalize", "0.5",
+        "--data_path", str(data / "train-000000.tar"),
+        "--output_dir", str(out), "--save_prefix", "eq",
+    ])
+    stats = cli_encode.main(args)
+    assert stats["num_samples"] == 40
+    z = np.load(out / "eq_latents-000000.npz")
+    assert np.isfinite(z["latents"]).all()
