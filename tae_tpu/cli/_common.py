@@ -47,18 +47,28 @@ def build_mesh(args):
     return make_mesh(data=-1, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
 
 
-def maybe_quantize_encoder(enc_params, mode: str | None):
+def maybe_quantize_encoder(enc_params, mode: str | None,
+                           equalize: float = 0.0):
     """Frozen-encoder stages are pure inference: ``mode == "int8"`` rewrites
     the params to the w8a8 serving layout (quantized + per-layer unstacked;
-    +34-84% measured encoder throughput, latent rel err ~3e-2 vs bf16)."""
+    +34-84% measured encoder throughput, latent rel err ~3e-2 vs bf16).
+    ``equalize`` > 0 applies the SmoothQuant-style LN-affine fold first
+    (tae_tpu.ops.int8.equalize_params, alpha = the value)."""
     if mode is None:
+        if equalize:
+            raise ValueError("--encoder_equalize requires "
+                             "--encoder_quantization int8")
         return enc_params
     if mode != "int8":
         raise ValueError(f"unknown encoder quantization {mode!r}")
     import jax
 
-    from tae_tpu.ops.int8 import quantize_params, unstack_blocks
+    from tae_tpu.ops.int8 import (equalize_params, quantize_params,
+                                  unstack_blocks)
 
+    if equalize:
+        enc_params = jax.jit(
+            lambda p: equalize_params(p, equalize))(enc_params)
     return unstack_blocks(jax.jit(quantize_params)(enc_params))
 
 

@@ -47,6 +47,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--encoder_ckpt", default="", type=str)
     p.add_argument("--encoder_args", default="", type=str,
                    help="JSON overrides for the encoder factory")
+    p.add_argument("--encoder_equalize", type=float, default=0.0,
+                   help="SmoothQuant-style equalization alpha applied "
+                        "before --encoder_quantization (0 = off)")
     p.add_argument("--encoder_quantization", default=None, choices=["int8"],
                    help="run the frozen encoder in the int8 w8a8 serving "
                         "layout (latent rel err ~3e-2 vs bf16)")
@@ -102,7 +105,7 @@ def main(args) -> None:
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, enc_params)
         enc_params = _common.maybe_quantize_encoder(
-            enc_params, args.encoder_quantization)
+            enc_params, args.encoder_quantization, args.encoder_equalize)
 
     opt = adamw(weight_decay=args.weight_decay)
     state = TrainState.create(params, opt)
