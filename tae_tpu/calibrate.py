@@ -62,11 +62,16 @@ def _blocks_ln_amax(half: Params, x: jnp.ndarray, cfg) -> tuple[jnp.ndarray, dic
 
 
 def _batch_stats(model, params: Params, imgs: jnp.ndarray) -> dict:
+    from tae_tpu.data.transforms import maybe_device_normalize
     from tae_tpu.nn import vit
 
     c = model.cfg
     stats: dict = {}
     if "encoder" in params:
+        # same input dispatch as Tokenizer.encode: uint8 batches (the native
+        # device-normalize serving path) are normalized here too, so the
+        # measured ranges match what the quantized forward actually sees
+        imgs = maybe_device_normalize(imgs, c.patch_size, jnp.float32)
         enc = params["encoder"]
         if imgs.ndim == 3:
             x = vit.linear_apply(enc["patch_embed"], imgs)
@@ -80,6 +85,12 @@ def _batch_stats(model, params: Params, imgs: jnp.ndarray) -> dict:
         z = vit.linear_apply(enc["dict_proj"], final)
     else:
         z = imgs  # decoder-only tree: imgs must already be latents
+    if getattr(c, "quantize", False) and "codebook" in params:
+        # VQ superset: the decoder only ever sees codebook vectors, so the
+        # stats must be measured on the post-bottleneck distribution
+        from tae_tpu.ops.quantizer import vq_ste
+
+        z, _ = vq_ste(z, params["codebook"], beta=c.commitment_beta)
     if "decoder" in params:
         dec = params["decoder"]
         x = vit.linear_apply(dec["embed"], z)

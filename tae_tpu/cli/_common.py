@@ -61,15 +61,9 @@ def maybe_quantize_encoder(enc_params, mode: str | None,
         return enc_params
     if mode != "int8":
         raise ValueError(f"unknown encoder quantization {mode!r}")
-    import jax
+    from tae_tpu.ops.int8 import prepare_serving_params
 
-    from tae_tpu.ops.int8 import (equalize_params, quantize_params,
-                                  unstack_blocks)
-
-    if equalize:
-        enc_params = jax.jit(
-            lambda p: equalize_params(p, equalize))(enc_params)
-    return unstack_blocks(jax.jit(quantize_params)(enc_params))
+    return prepare_serving_params(enc_params, mode, equalize)
 
 
 def build_model(name: str, model_args: str = "", **kwargs):

@@ -266,17 +266,10 @@ def main(args) -> dict:
     if args.equalize and args.quantization not in ("int8", "int4"):
         raise SystemExit("--equalize requires --quantization int8/int4")
     if args.quantization in ("int8", "int4"):
-        from tae_tpu.ops.int8 import quantize_params, unstack_blocks
+        from tae_tpu.ops.int8 import prepare_serving_params
 
-        if args.equalize:
-            from tae_tpu.ops.int8 import equalize_params
-
-            params = jax.jit(
-                lambda p: equalize_params(p, args.equalize))(params)
-        if args.quantization == "int4":
-            from tae_tpu.ops.int4 import quantize_params_int4 as quantize_params
-
-        params = unstack_blocks(jax.jit(quantize_params)(params))
+        params = prepare_serving_params(params, args.quantization,
+                                        args.equalize)
 
     def encode_step(p, x):
         from tae_tpu.data.transforms import maybe_device_normalize

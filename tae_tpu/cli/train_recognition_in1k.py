@@ -117,6 +117,12 @@ def main(args) -> None:
     enc_params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating)
         else x, enc_params)
+    # the frozen stage only ever runs forward_encoder — drop the decoder
+    # half before (optionally) quantizing: ~half the resident encoder-side
+    # weight HBM on the 3.4-4B configs (same rewrite as the encode CLI)
+    from tae_tpu.tokenizer import prune_component
+
+    enc_params = prune_component(enc_params, "encoder")
     enc_params = _common.maybe_quantize_encoder(
         enc_params, args.encoder_quantization, args.encoder_equalize)
     enc_policy = Policy(param_dtype=jnp.bfloat16)

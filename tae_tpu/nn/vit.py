@@ -202,7 +202,12 @@ def attention_apply(p: Params, x: jnp.ndarray, cfg: AttentionConfig,
         if _attn_wide(n, int8_path=False) and not cfg.qk_norm:
             from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_wide
 
-            return linear_apply(p["proj"], fused_qkv_attention_wide(qkv, h))
+            # serving=False: this dispatch sits on the differentiable bf16
+            # path, so the forward must match the XLA-reference backward for
+            # arbitrary scores (not just inside the serving softmax clamps)
+            return linear_apply(p["proj"],
+                                fused_qkv_attention_wide(qkv, h,
+                                                         serving=False))
         # measured on v5e: the fused kernel wins at N=256 (+24% end-to-end
         # encode) but XLA's folded-batch einsums win at N<=64 where
         # attention is a negligible FLOP fraction and per-head matmuls are

@@ -230,6 +230,33 @@ def equalize_params(params: Params, alpha: float = 0.5,
     return walk(params, act_amax)
 
 
+def prepare_serving_params(params: Params, quantization: str,
+                           equalize: float | bool = 0.0,
+                           act_amax: Params | None = None) -> Params:
+    """The canonical serving rewrite, in order: (optional) SmoothQuant-style
+    equalization -> int8/int4 quantization -> per-layer unstacked serving
+    layout. ONE definition shared by ``Tokenizer.from_checkpoint``, the
+    encode CLI, and the frozen-encoder trainers — keep them from drifting.
+    ``equalize``: falsy = off, True = alpha 0.5, number = alpha."""
+    if quantization not in ("int8", "int4"):
+        raise ValueError(f"unknown quantization mode {quantization!r}")
+    if equalize:
+        alpha = 0.5 if equalize is True else float(equalize)
+        if act_amax is not None:
+            params = jax.jit(
+                lambda p, a: equalize_params(p, alpha, act_amax=a)
+            )(params, act_amax)
+        else:
+            params = jax.jit(lambda p: equalize_params(p, alpha))(params)
+    if quantization == "int4":
+        from tae_tpu.ops.int4 import quantize_params_int4
+
+        params = jax.jit(quantize_params_int4)(params)
+    else:
+        params = jax.jit(quantize_params)(params)
+    return unstack_blocks(params)
+
+
 def unstack_blocks(params: Params, key: str = "blocks") -> Params:
     """Rewrite every depth-stacked ``blocks`` sub-tree into a list of
     per-layer trees (serving layout: each layer's weights become root

@@ -185,22 +185,28 @@ def _packed_fwd_kernel(qkv_ref, o_ref, *, h: int, scale: float,
             lse_ref[0, i] = m + jnp.log(l)
 
 
-_SOFTMAX_CAP = 80.0
+_SOFTMAX_CLIP = (-60.0, 45.0)
 
 
 def _serving_softmax(s):
     """Constant-shift softmax for the forward-only (serving) kernel bodies:
     ``softmax(s) == exp(s - K)/sum`` for ANY constant K, so the per-row max
     subtraction — a cross-lane VPU reduction measured at ~14% of the packed
-    kernel's runtime at N=256 — is redundant; a fixed upper clamp replaces
-    it for overflow safety. exp stays finite to s≈88 and the row sum
-    (≤ N·e^80 ≈ 1e37 at N=256) stays inside f32; scores above the clamp
-    (trained-ViT logits are O(10); the bound is |q||k|·√dh) flatten toward
-    uniform instead of overflowing. Exact whenever max(s) ≤ 80. Training
-    bodies keep the true max (the LSE residual wants it). Measured with the
+    kernel's runtime at N=256 — is redundant; a fixed two-sided clamp
+    replaces it for total safety. The FLOOR makes the function total: with
+    exp(min s) = e^-60 > 0 the row sum can never underflow to 0, so no
+    reciprocal(0)=inf and no 0·inf=NaN even when every score in a row is
+    hugely negative (the all-underflow case a review caught: anti-aligned
+    q/k rows at N=4 NaN'd where the max-subtracting form was exact). The
+    CEILING keeps the unnormalized p@v f32 accumulation finite:
+    N·e^45·|v| < f32 max for any |v| < ~3e16. Exact whenever
+    max(s) ∈ [-60, 45] (trained-ViT logits are O(10)); beyond the clamps it
+    degrades toward uniform over the clamped entries instead of
+    overflowing. Training bodies keep the true max (the LSE residual wants
+    it, and exactness must hold for arbitrary scores). Measured with the
     fused reciprocal: packed kernel 0.875 -> 0.732 ms at (128, 256, 16, 64).
     Returns (p, 1/sum(p))."""
-    p = jnp.exp(jnp.minimum(s, _SOFTMAX_CAP))
+    p = jnp.exp(jnp.clip(s, *_SOFTMAX_CLIP))
     l = jnp.sum(p, axis=-1, keepdims=True)
     return p, jax.lax.reciprocal(l)
 
@@ -264,7 +270,7 @@ def _packed_wide_fwd_kernel(qkv_ref, o_ref, *, h: int, scale: float):
 
 
 def _packed_wide_fwd_kernel_stacked(qkv_ref, o_ref, *, h: int, scale: float,
-                                    group: int):
+                                    group: int, serving: bool = True):
     """Head-stacked wide variant: slice ``group`` heads at a time into
     (group·bb, N, dh) stacks (head and batch merged — Mosaic's tpu.matmul
     supports at most ONE batch dim), then TWO batched dot_generals and ONE
@@ -284,7 +290,15 @@ def _packed_wide_fwd_kernel_stacked(qkv_ref, o_ref, *, h: int, scale: float,
                               for i in heads])      # (g*bb, N, dh)
         s = jax.lax.dot_general(qs, ks, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
-        p, l_inv = _serving_softmax(s)              # (g*bb, N, ·)
+        if serving:
+            p, l_inv = _serving_softmax(s)          # (g*bb, N, ·)
+        else:
+            # differentiable path: exact for arbitrary scores (the custom
+            # VJP recomputes through the XLA reference, so the forward must
+            # match it everywhere, not just inside the serving clamps)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            l_inv = jax.lax.reciprocal(jnp.sum(p, axis=-1, keepdims=True))
         o = jax.lax.dot_general(p.astype(vs.dtype), vs,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -628,16 +642,22 @@ def _packed_fwd_call(qkv, h: int, scale: float, with_lse: bool,
     return res if with_lse else (res[0], None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
 def fused_qkv_attention_wide(qkv, num_heads: int, scale: float | None = None,
                              block_b: int | None = None,
-                             interpret: bool = False):
+                             interpret: bool = False, serving: bool = True):
     """(B, N, 3C) packed qkv -> (B, N, C) for tiny N: ``block_b`` batch
     elements per program so program count (and its ~20µs overhead each)
     drops by that factor. Measured on v5e vs the XLA small-N path: +18%
     end-to-end p64 int8 encode, +1.3% p128 bf16. The backward recomputes
     through the XLA reference (training at tiny N was the XLA path before,
-    so gradient cost is unchanged; the kernel speeds up every forward)."""
+    so gradient cost is unchanged; the kernel speeds up every forward).
+
+    ``serving=True`` (the int8-block path) uses the clamped constant-shift
+    softmax (_serving_softmax); pass ``serving=False`` on any path that can
+    be differentiated (the bf16 attention_apply dispatch) so the forward
+    matches the XLA-reference backward for ARBITRARY scores, not just those
+    inside the serving clamps."""
     import os
 
     b, n, c3 = qkv.shape
@@ -656,7 +676,7 @@ def fused_qkv_attention_wide(qkv, num_heads: int, scale: float | None = None,
         group = _wide_stack_group(num_heads, block_b, n, c // num_heads)
         wide_body = functools.partial(_packed_wide_fwd_kernel_stacked,
                                       h=num_heads, scale=float(scale),
-                                      group=group)
+                                      group=group, serving=serving)
     return pl.pallas_call(
         wide_body,
         grid=(b // block_b,),
@@ -677,12 +697,13 @@ def _wide_reference(qkv, h: int, scale):
     return y.transpose(0, 2, 1, 3).reshape(b, n, c)
 
 
-def _wide_vjp_fwd(qkv, num_heads, scale, block_b, interpret):
+def _wide_vjp_fwd(qkv, num_heads, scale, block_b, interpret, serving):
     return (fused_qkv_attention_wide(qkv, num_heads, scale, block_b,
-                                     interpret), (qkv,))
+                                     interpret, serving), (qkv,))
 
 
-def _wide_vjp_bwd(num_heads, scale, block_b, interpret, residuals, do):
+def _wide_vjp_bwd(num_heads, scale, block_b, interpret, serving, residuals,
+                  do):
     (qkv,) = residuals
     _, vjp = jax.vjp(lambda q: _wide_reference(q, num_heads, scale), qkv)
     return vjp(do)

@@ -96,12 +96,15 @@ def int4_matmul_fused(x: jnp.ndarray, w4: jnp.ndarray, w_scale: jnp.ndarray,
         xq, sx = x, x_scale
     else:
         out_dtype = out_dtype or x.dtype
-        # reduce |x| in the input dtype so the f32 convert fuses into the
-        # quantize loop instead of materializing (see int8_matmul.py)
+        # reduce |x| in the input dtype, and barrier the quantize's own
+        # convert so it can't CSE-merge with the reduce's — merged, XLA
+        # materializes the full f32 activation as a fusion output (see
+        # int8_matmul.py for the profile; both halves are the fix)
         sx = jnp.maximum(
             jnp.max(jnp.abs(x), axis=1, keepdims=True).astype(jnp.float32)
             / 127.0, 1e-12)
-        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+        xb = jax.lax.optimization_barrier(x)
+        xq = jnp.clip(jnp.round(xb.astype(jnp.float32) / sx),
                       -127.0, 127.0).astype(jnp.int8)
 
     has_bias = bias is not None

@@ -105,32 +105,18 @@ class Tokenizer:
             raise ValueError("equalize= only applies to the quantized "
                              "serving modes (it rewrites ranges the bf16 "
                              "path never quantizes)")
-        if quantization in ("int8", "int4"):
-            from tae_tpu.ops.int8 import (equalize_params, quantize_params,
-                                          unstack_blocks)
+        if quantization is not None:
+            from tae_tpu.ops.int8 import prepare_serving_params
 
-            if equalize:
-                alpha = 0.5 if equalize is True else float(equalize)
-                if calib_images is not None and act_amax is None:
-                    from tae_tpu.calibrate import ln_amax
+            if equalize and calib_images is not None and act_amax is None:
+                from tae_tpu.calibrate import ln_amax
 
-                    act_amax = ln_amax(model, params, calib_images)
-                params = jax.jit(
-                    lambda p, a: equalize_params(p, alpha, act_amax=a)
-                )(params, act_amax) if act_amax is not None else jax.jit(
-                    lambda p: equalize_params(p, alpha))(params)
-            if quantization == "int4":
-                from tae_tpu.ops.int4 import quantize_params_int4
-
-                params = jax.jit(quantize_params_int4)(params)
-            else:
-                params = jax.jit(quantize_params)(params)
-            # serving layout: per-layer root buffers instead of depth-stacked
-            # scan operands (kills the per-layer dynamic-slice copies Pallas
-            # can't alias — measured +10-16% encode; see docs/KERNELS.md)
-            params = unstack_blocks(params)
-        elif quantization is not None:
-            raise ValueError(f"unknown quantization mode {quantization!r}")
+                act_amax = ln_amax(model, params, calib_images)
+            # equalize -> quantize -> unstacked serving layout (the layout
+            # kills the per-layer dynamic-slice copies Pallas can't alias —
+            # measured +10-16% encode; see docs/KERNELS.md)
+            params = prepare_serving_params(params, quantization,
+                                            equalize or 0.0, act_amax)
         return cls(model=model, params=params,
                    policy=Policy(param_dtype=dtype, compute_dtype=dtype))
 

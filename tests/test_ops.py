@@ -718,3 +718,35 @@ def test_equalize_params_calibrated_stats_override_proxy():
     a2 = np.asarray(eq_proxy["encoder"]["blocks"]["mlp"]["fc1"]["w"])
     b2 = np.asarray(eq_cal["encoder"]["blocks"]["mlp"]["fc1"]["w"])
     np.testing.assert_allclose(a2, b2)
+
+
+def test_serving_softmax_total_on_underflowing_scores():
+    """All-scores-below-exp-underflow rows must produce finite (uniform)
+    attention, not NaN (reciprocal of a zero sum) — and the serving=False
+    wide path must match the XLA reference exactly even there."""
+    from tae_tpu.ops.pallas.flash_attention import (
+        fused_qkv_attention, fused_qkv_attention_wide, _wide_reference)
+
+    n, h, dh = 4, 2, 64
+    c = h * dh
+    qkv = np.zeros((2, n, 3 * c), np.float32)
+    qkv[:, :, :c] = 40.0          # q rows aligned
+    qkv[:, :, c:2 * c] = -40.0    # k rows anti-aligned: s = -40*40*64*scale
+    qkv[:, :, 2 * c:] = np.random.default_rng(0).standard_normal((2, n, c))
+    qkv = jnp.asarray(qkv)
+    ref = _wide_reference(qkv, h, None)
+    assert np.isfinite(np.asarray(ref)).all()
+    out_s = fused_qkv_attention_wide(qkv, h, interpret=True)          # serving
+    out_t = fused_qkv_attention_wide(qkv, h, interpret=True, serving=False)
+    assert np.isfinite(np.asarray(out_s)).all()
+    # uniform-attention rows: both paths equal the reference
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(ref), atol=2e-5)
+    # per-batch serving kernel too (N>=128 regime shape)
+    n2 = 128
+    qkv2 = np.zeros((1, n2, 3 * c), np.float32)
+    qkv2[:, :, :c] = 40.0
+    qkv2[:, :, c:2 * c] = -40.0
+    qkv2[:, :, 2 * c:] = 1.0
+    out2 = fused_qkv_attention(jnp.asarray(qkv2), h, interpret=True)
+    assert np.isfinite(np.asarray(out2)).all()
