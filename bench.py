@@ -27,6 +27,11 @@ import jax.numpy as jnp
 
 BASELINE_IMG_PER_SEC = 10_000.0
 K_LONG = 12
+# the headline (fastest) config runs a longer loop: per-iteration time is
+# ~17 ms there, so K=12 leaves the differenced measurement at the mercy of
+# relay jitter (observed 14.3-17.4k run-to-run) — K=48 amortizes it 4x for
+# +~1.5 s of bench wall time. The trip count is traced, so no extra compile.
+K_LONG_HEADLINE = 48
 
 # (name, model, batch, int8, patchin) — batch/config choices are the measured
 # optima on v5e (see CLAUDE.md / docs/KERNELS.md measured numbers).
@@ -39,7 +44,7 @@ ENCODE_CONFIGS = [
     ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, False, False),
     ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True, True),
     ("encode_p128_bf16_b1024", "tae_patch128_vocab4096_px256", 1024, False, True),
-    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True, True),
+    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True, True),  # noqa: E501 — headline config, uses K_LONG_HEADLINE
     # small-batch serving latency regression guard (the bm-restream fix:
     # 15.0 -> 2.78 ms/batch); reported as img/s, latency = 8000/value ms
     ("serve_p64_int8_b8", "tae_patch64_vocab4096_px256", 8, True, True),
@@ -85,10 +90,11 @@ def bench_encode(name: str, model_name: str, batch: int, int8: bool,
         out = jax.lax.fori_loop(0, k, body, imgs)
         return jnp.sum(out[0, 0, 0])
 
+    k_long = K_LONG_HEADLINE if name == "encode_p128_int8_b256" else K_LONG
     float(run(params, imgs, jnp.int32(1)))  # compile once (k is traced)
     t1 = _timed_loop(model, policy, params, imgs, 1, run)
-    tk = _timed_loop(model, policy, params, imgs, K_LONG, run)
-    per_iter = max(tk - t1, 1e-9) / (K_LONG - 1)
+    tk = _timed_loop(model, policy, params, imgs, k_long, run)
+    per_iter = max(tk - t1, 1e-9) / (k_long - 1)
     del params
     return batch / per_iter
 
