@@ -269,7 +269,8 @@ def main(args) -> dict:
         from tae_tpu.ops.int8 import prepare_serving_params
 
         params = prepare_serving_params(params, args.quantization,
-                                        args.equalize)
+                                        args.equalize,
+                                        patch_input=bool(args.patch_layout))
 
     def encode_step(p, x):
         from tae_tpu.data.transforms import maybe_device_normalize

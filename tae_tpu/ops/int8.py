@@ -232,12 +232,21 @@ def equalize_params(params: Params, alpha: float = 0.5,
 
 def prepare_serving_params(params: Params, quantization: str,
                            equalize: float | bool = 0.0,
-                           act_amax: Params | None = None) -> Params:
+                           act_amax: Params | None = None,
+                           patch_input: bool = False) -> Params:
     """The canonical serving rewrite, in order: (optional) SmoothQuant-style
     equalization -> int8/int4 quantization -> per-layer unstacked serving
     layout. ONE definition shared by ``Tokenizer.from_checkpoint``, the
     encode CLI, and the frozen-encoder trainers — keep them from drifting.
-    ``equalize``: falsy = off, True = alpha 0.5, number = alpha."""
+    ``equalize``: falsy = off, True = alpha 0.5, number = alpha.
+
+    ``patch_input=True`` declares the deployment feeds pre-patchified
+    (B, N, C*p*p) batches (the native decoder's --patch_layout), where the
+    patch embed is a plain matmul with no relayout ahead of the activation
+    quantize — so int8 mode quantizes it too instead of the default bf16
+    skip (measured p64 encode 4946 -> 5259 img/s, +6.3%; p128 +0.8%; latent
+    rel err 1.4e-2 -> 1.7e-2 on a p128-shaped model). int4 mode ignores it
+    (the int4 packer only covers transformer-block weights)."""
     if quantization not in ("int8", "int4"):
         raise ValueError(f"unknown quantization mode {quantization!r}")
     if equalize:
@@ -253,7 +262,8 @@ def prepare_serving_params(params: Params, quantization: str,
 
         params = jax.jit(quantize_params_int4)(params)
     else:
-        params = jax.jit(quantize_params)(params)
+        skip = () if patch_input else ("patch_embed",)
+        params = jax.jit(lambda p: quantize_params(p, skip=skip))(params)
     return unstack_blocks(params)
 
 
@@ -288,10 +298,12 @@ def quantize_params(params: Params, skip: tuple[str, ...] = ("patch_embed",)
     codebook) pass through.
 
     ``skip`` names sub-trees kept in the float path. Default skips
-    ``patch_embed``: quantizing it forces the patch relayout to materialize
-    in fp32 ahead of the quantize pass (profiled ~2.4% of p64 int8 encode),
-    while in bf16 the relayout folds into the einsum patch embed — bf16
-    there is both faster and more accurate."""
+    ``patch_embed``: with image-layout input, quantizing it forces the patch
+    relayout to materialize in fp32 ahead of the quantize pass (profiled
+    ~2.4% of p64 int8 encode), while in bf16 the relayout folds into the
+    einsum patch embed. With pre-patchified input there is no relayout and
+    quantizing it WINS (+6.3% p64) — ``prepare_serving_params``'s
+    ``patch_input=True`` passes ``skip=()`` for that case."""
     def walk(node, name=""):
         if name in skip:
             return node

@@ -58,6 +58,7 @@ class Tokenizer:
                         component: str = "both",
                         equalize: float | bool | None = None,
                         act_amax=None, calib_images=None,
+                        patch_input: bool = False,
                         **model_overrides) -> "Tokenizer":
         """``quantization="int8"`` rewrites all linear weights to int8 with
         per-channel scales (w8a8 dynamic serving path, ~2x MXU rate; see
@@ -80,7 +81,13 @@ class Tokenizer:
         are estimated from the LN affines; pass measured stats via
         ``act_amax`` (a :func:`tae_tpu.calibrate.ln_amax` tree) or let
         ``calib_images`` — an iterable of image batches — run that
-        calibration here on the float params before quantizing."""
+        calibration here on the float params before quantizing.
+
+        ``patch_input=True``: declare that encode calls will feed
+        pre-patchified (B, N, C*p*p) batches (the native decoder's
+        ``--patch_layout``); int8 mode then quantizes the patch embed too
+        (+6% p64 encode — see :func:`tae_tpu.ops.int8.prepare_serving_params`).
+        Image-layout calls still work, just without that win."""
         from tae_tpu import models
         from tae_tpu.ckpt.io import load_params
 
@@ -116,7 +123,8 @@ class Tokenizer:
             # kills the per-layer dynamic-slice copies Pallas can't alias —
             # measured +10-16% encode; see docs/KERNELS.md)
             params = prepare_serving_params(params, quantization,
-                                            equalize or 0.0, act_amax)
+                                            equalize or 0.0, act_amax,
+                                            patch_input=patch_input)
         return cls(model=model, params=params,
                    policy=Policy(param_dtype=dtype, compute_dtype=dtype))
 

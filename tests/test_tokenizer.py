@@ -143,6 +143,34 @@ def test_int8_quantized_encode_close_to_fp():
     assert rel < 0.15  # a few % typical; generous bound for 2-layer random net
 
 
+def test_patch_input_quantizes_patch_embed():
+    """patch_input=True (pre-patchified deployments): the patch embed is
+    quantized too, and encode agrees between image-layout and pre-patchified
+    input and tracks the fp tokenizer within int8 tolerance."""
+    from tae_tpu.ops.patchify import extract_patches
+
+    tok = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                    dtype=jnp.float32, **TINY)
+    tok8p = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                      dtype=jnp.float32, quantization="int8",
+                                      patch_input=True, **TINY)
+    pe = tok8p.params["encoder"]["patch_embed"]
+    assert pe["w_q"].dtype == jnp.int8  # default mode keeps this in float
+    imgs = np.random.default_rng(7).standard_normal((2, 3, 64, 64)).astype(np.float32)
+    patches = np.asarray(extract_patches(jnp.asarray(imgs), 16))
+    z_img = np.asarray(tok8p.encode(imgs), np.float32)
+    z_pat = np.asarray(tok8p.encode(patches), np.float32)
+    np.testing.assert_allclose(z_pat, z_img, atol=1e-5)
+    z = np.asarray(tok.encode(imgs), np.float32)
+    rel = np.abs(z_pat - z).mean() / (np.abs(z).mean() + 1e-9)
+    assert rel < 0.15
+    # int4 ignores the flag (its packer only covers transformer blocks)
+    tok4p = Tokenizer.from_checkpoint("tae_patch16_vocab16_px256",
+                                      dtype=jnp.float32, quantization="int4",
+                                      patch_input=True, **TINY)
+    assert "w" in tok4p.params["encoder"]["patch_embed"]
+
+
 def test_serving_artifact_roundtrip(tmp_path):
     """save_serving persists the quantized unstacked params; from_serving
     restores them (int8 dtypes, per-layer list layout) and produces the
