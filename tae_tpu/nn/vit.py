@@ -219,7 +219,10 @@ def attention_apply(p: Params, x: jnp.ndarray, cfg: AttentionConfig,
         # attention math itself at TAE shapes)
         from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention
 
-        y = fused_qkv_attention(qkv, h)
+        # serving=False: differentiable bf16 path — the primal must use the
+        # exact softmax so f(x) == primal of value_and_grad(f)(x) even for
+        # attention logits outside the serving softmax clamps
+        y = fused_qkv_attention(qkv, h, serving=False)
     else:
         qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -317,9 +320,14 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     # (already VPU-bound) head stacking costs more than the saved DMA,
     # the same VPU-vs-bytes verdict as the int4 path (docs/KERNELS.md).
     # TAE_TPU_QKV_Q8=1 enables for shape regimes where bytes dominate.
+    # the i8 attention kernel needs dh to divide the q8_out scale block
+    # bn = _block(3c, 512) (e.g. dh=256 with 3c=768 gives bn=384 — the old
+    # `512 % dh` proxy wrongly passed that); mirror int8_linear's blocking
+    from tae_tpu.ops.int8 import _block as _i8_block
+
     use_i8_qkv = (not interpret and n >= _fused_attn_minn()
                   and "w_q" in a["qkv"] and not cfg.qk_norm
-                  and 512 % dh == 0
+                  and _i8_block(3 * c, 512) % dh == 0
                   and os.environ.get("TAE_TPU_QKV_Q8") == "1")
     if use_i8_qkv:
         from tae_tpu.ops.int8 import int8_linear

@@ -97,10 +97,12 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     attention kernels); Pallas path only."""
     from tae_tpu.ops.attention import default_backend
 
-    assert not (q8_out and interpret is False
-                and (backend or default_backend()) != "pallas"), \
-        "q8_out requires the Pallas path"
     if not interpret and (backend or default_backend()) != "pallas":
+        if q8_out:
+            # not an assert: must survive python -O, and the XLA fallback
+            # would silently return a float array where the caller expects
+            # an (int8, scales) tuple
+            raise ValueError("q8_out requires the Pallas path")
         if x_scale is not None:
             x = x.astype(jnp.float32) * x_scale  # dequantize, then requantize
         y = int8_linear_xla(x, w_q, w_scale, bias)

@@ -212,7 +212,8 @@ def _serving_softmax(s):
 
 
 def _packed_fwd_kernel_stacked(qkv_ref, o_ref, *, h: int, scale: float,
-                               with_lse: bool, lse_ref=None):
+                               with_lse: bool, lse_ref=None,
+                               serving: bool = True):
     """Head-stacked variant of _packed_fwd_kernel: pay the lane-misaligned
     head slices once into (h, N, dh) stacks, then run attention as TWO
     head-batched dot_generals and ONE big softmax instead of h interleaved
@@ -229,7 +230,11 @@ def _packed_fwd_kernel_stacked(qkv_ref, o_ref, *, h: int, scale: float,
                     for i in range(h)])
     s = jax.lax.dot_general(qs, ks, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32) * scale
-    if with_lse:
+    if with_lse or not serving:
+        # exact max-subtract form: required when LSE is emitted, and on the
+        # differentiable non-LSE primal (serving=False) so f(x) matches the
+        # primal of value_and_grad(f)(x) for ARBITRARY scores — the clamped
+        # serving softmax diverges once any logit leaves its clip window
         m = jnp.max(s, axis=-1, keepdims=True)      # (h, N, 1)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
@@ -612,7 +617,7 @@ def _lse_spec3(h: int, n: int):
 
 
 def _packed_fwd_call(qkv, h: int, scale: float, with_lse: bool,
-                     interpret: bool):
+                     interpret: bool, serving: bool = True):
     b, n, c3 = qkv.shape
     c = c3 // 3
     out_shape = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)]
@@ -624,9 +629,10 @@ def _packed_fwd_call(qkv, h: int, scale: float, with_lse: bool,
 
     # head-stacked is the measured default (p16 encode +3% bf16 / +8% int8
     # vs the per-head loop); "loop" keeps the old body for comparison
-    body = (_packed_fwd_kernel
-            if os.environ.get("TAE_TPU_PACKED_ATTN") == "loop"
-            else _packed_fwd_kernel_stacked)
+    if os.environ.get("TAE_TPU_PACKED_ATTN") == "loop":
+        body = _packed_fwd_kernel          # loop body is always exact
+    else:
+        body = functools.partial(_packed_fwd_kernel_stacked, serving=serving)
     kernel = functools.partial(body, h=h, scale=scale, with_lse=False)
     if with_lse:
         kernel = lambda qr, or_, lr: body(  # noqa: E731
@@ -712,25 +718,33 @@ def _wide_vjp_bwd(num_heads, scale, block_b, interpret, serving, residuals,
 fused_qkv_attention_wide.defvjp(_wide_vjp_fwd, _wide_vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def fused_qkv_attention(qkv, num_heads: int, scale: float | None = None,
-                        interpret: bool = False):
+                        interpret: bool = False, serving: bool = True):
     """(B, N, 3C) packed qkv -> (B, N, C) attention output, head split/merge
-    fused into the kernel."""
+    fused into the kernel.
+
+    ``serving=True`` (the int8-block path) uses the clamped constant-shift
+    softmax; pass ``serving=False`` on the differentiable bf16 dispatch
+    (attention_apply) so the non-LSE primal matches the exact-softmax
+    custom-VJP forward for arbitrary scores — trained models with attention
+    logits outside the serving clamps must not see a silently different
+    eval/serving output."""
     if scale is None:
         scale = (qkv.shape[-1] // 3 // num_heads) ** -0.5
-    o, _ = _packed_fwd_call(qkv, num_heads, float(scale), False, interpret)
+    o, _ = _packed_fwd_call(qkv, num_heads, float(scale), False, interpret,
+                            serving=serving)
     return o
 
 
-def _packed_vjp_fwd(qkv, num_heads, scale, interpret):
+def _packed_vjp_fwd(qkv, num_heads, scale, interpret, serving):
     if scale is None:
         scale = (qkv.shape[-1] // 3 // num_heads) ** -0.5
     o, lse = _packed_fwd_call(qkv, num_heads, float(scale), True, interpret)
     return o, (qkv, o, lse)
 
 
-def _packed_vjp_bwd(num_heads, scale, interpret, residuals, do):
+def _packed_vjp_bwd(num_heads, scale, interpret, serving, residuals, do):
     qkv, o, lse = residuals
     b, n, c3 = qkv.shape
     if scale is None:

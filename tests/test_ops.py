@@ -750,3 +750,36 @@ def test_serving_softmax_total_on_underflowing_scores():
     qkv2[:, :, 2 * c:] = 1.0
     out2 = fused_qkv_attention(jnp.asarray(qkv2), h, interpret=True)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_fused_qkv_attention_serving_false_exact_outside_clamps():
+    """The differentiable (serving=False) per-batch primal must equal the
+    XLA reference for logits OUTSIDE the serving clamp window [-60, 45] —
+    i.e. f(x) == primal of value_and_grad(f)(x) on the bf16 N>=128 dispatch
+    (ADVICE r2: the clamped serving softmax silently distorted trained
+    models with large attention logits on a non-opt-in path)."""
+    from tae_tpu.ops.pallas.flash_attention import (
+        fused_qkv_attention, _wide_reference)
+
+    n, h, dh = 128, 2, 64
+    c = h * dh
+    rng = np.random.default_rng(1)
+    # scale q so max logits land ~O(100): rows are NOT uniform, so the
+    # clamped softmax genuinely diverges from the exact one here
+    qkv = rng.standard_normal((2, n, 3 * c)).astype(np.float32)
+    qkv[:, :, :c] *= 30.0
+    qkv = jnp.asarray(qkv)
+    ref = _wide_reference(qkv, h, None)
+    out_exact = fused_qkv_attention(qkv, h, interpret=True, serving=False)
+    np.testing.assert_allclose(np.asarray(out_exact), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # sanity: the clamped serving kernel DOES diverge on these scores
+    # (otherwise this test exercises nothing)
+    out_serv = fused_qkv_attention(qkv, h, interpret=True, serving=True)
+    assert np.abs(np.asarray(out_serv) - np.asarray(ref)).max() > 1e-3
+    # and the custom-VJP forward (with_lse) agrees with the primal
+    def f(q):
+        return jnp.sum(fused_qkv_attention(q, h, None, True, False))
+    val, _ = jax.value_and_grad(f)(qkv)
+    np.testing.assert_allclose(float(val), float(jnp.sum(out_exact)),
+                               rtol=1e-5)
