@@ -56,6 +56,11 @@ def main(args) -> float:
         params = load_params(args.resume, model, params)
         print(f"Loaded checkpoint {args.resume}")
 
+    # the reference's batch 8192 default does not fit 16 GB HBM for the big
+    # configs; clamp by a per-device footprint estimate instead of OOMing
+    args.batch_size_per_gpu = _common.clamp_eval_batch(
+        args.batch_size_per_gpu, model, params, mesh)
+
     @jax.jit
     def per_sample_loss_and_pred(p, imgs):
         z = model.forward_encoder(p, imgs, policy=policy, backend=args.attn_backend)

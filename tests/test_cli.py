@@ -88,6 +88,63 @@ def test_evaluate_cli_with_resume(data, tmp_path):
     assert (out / "ev_sample_reconstructions.jpg").exists()
 
 
+def test_wds_train_loader_prebatched_native_path(data, capsys, monkeypatch):
+    """The train input pipeline uses the native prebatched decode when
+    available (no np.stack collate copy), logs which path is active, and
+    produces the same stream as the per-sample path (same shuffle seed,
+    same RRC box/flip draws, same fused decode underneath)."""
+    from types import SimpleNamespace
+
+    from tae_tpu.cli import _common
+    from tae_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    args = SimpleNamespace(train_data_path=str(data / "train-000000.tar"),
+                           input_size=64, seed=3, num_workers=0)
+    nat = _common.wds_train_loader(args, 8)
+    assert "native prebatched decode" in capsys.readouterr().out
+    monkeypatch.setenv("TAE_TPU_NATIVE_TRAIN", "0")
+    per_sample = _common.wds_train_loader(args, 8)
+    assert "collate tax" not in capsys.readouterr().out  # native per-sample,
+    # not the PIL fallback — no warning for that; just check batches agree
+    it_a, it_b = iter(nat), iter(per_sample)
+    for _ in range(3):
+        (ia, ca), (ib, cb) = next(it_a), next(it_b)
+        assert ia.shape == (8, 3, 64, 64) and ia.dtype == np.float32
+        np.testing.assert_array_equal(ca, cb)
+        np.testing.assert_allclose(ia, ib, atol=1e-6)
+
+
+def test_evaluate_cli_clamps_oversized_batch(data, tmp_path, monkeypatch,
+                                             capsys):
+    """The reference's batch-8192 default (evaluate.py:59-61) must clamp to
+    the per-device HBM estimate with an actionable message instead of
+    OOMing, and still produce a finite eval loss."""
+    from tae_tpu.cli import evaluate as cli_eval
+
+    out = tmp_path / "out"
+    out.mkdir()
+    eargs = cli_eval.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size_per_gpu", "8192",
+        "--val_data_path", str(data / "val"),
+        "--output_dir", str(out), "--save_prefix", "cl",
+        "--num_workers", "0",
+    ])
+    monkeypatch.setenv("TAE_TPU_HBM_BYTES", str(32_000_000))
+    loss = cli_eval.main(eargs)
+    assert np.isfinite(loss)
+    msg = capsys.readouterr().out
+    assert "Clamping --batch_size_per_gpu 8192" in msg
+    assert "--mesh_fsdp" in msg
+
+    # params that leave no activation room at all -> actionable abort
+    monkeypatch.setenv("TAE_TPU_HBM_BYTES", str(1_000_000))
+    with pytest.raises(SystemExit, match="mesh_fsdp"):
+        cli_eval.main(eargs)
+
+
 def test_encode_cli_streams_sharded_output(data, tmp_path):
     from tae_tpu.cli import encode as cli_encode
 
