@@ -114,7 +114,7 @@ def _wds_train_iter(path: str, input_size: int, jitter_scale, jitter_ratio,
 
 def _wds_train_iter_batched(path: str, input_size: int, jitter_scale,
                             jitter_ratio, seed: int, process_index: int,
-                            process_count: int, batch_size: int,
+                            process_count: int, batch_size: int, u8: bool,
                             worker_id: int, num_workers: int):
     """Prebatched native train path: raw tar bytes -> fused C++ decode_batch
     straight into the batch buffer. The per-sample path loses ~40% of host
@@ -166,8 +166,9 @@ def _wds_train_iter_batched(path: str, input_size: int, jitter_scale,
             flips[i] = rng.random() < 0.5
             datas.append(data)
             clss.append(_sample_cls(sample))
-        imgs, keep = native.decode_batch(datas, boxes, flips, input_size,
-                                         threads=threads, skip_failed=True)
+        decode = native.decode_batch_u8 if u8 else native.decode_batch
+        imgs, keep = decode(datas, boxes, flips, input_size,
+                            threads=threads, skip_failed=True)
         cls_arr = np.asarray(clss, np.int32)
         if keep is not None:
             cls_arr = cls_arr[keep]
@@ -206,16 +207,24 @@ def wds_train_loader(args, batch_size: int) -> BatchLoader:
 
     use_native = (native.available()
                   and _os.environ.get("TAE_TPU_NATIVE_TRAIN") != "0")
+    u8 = bool(getattr(args, "device_normalize", False))
     if use_native:
         print(f"Input pipeline: native prebatched decode "
-              f"({args.num_workers} workers, no collate copy)", flush=True)
+              f"({args.num_workers} workers, no collate copy"
+              + (", uint8 H2D + on-device normalize" if u8 else "") + ")",
+              flush=True)
         make_iter = functools.partial(
             _wds_train_iter_batched, args.train_data_path, args.input_size,
             getattr(args, "jitter_scale", [0.2, 1.0]),
             getattr(args, "jitter_ratio", [3 / 4, 4 / 3]),
-            args.seed, jax.process_index(), jax.process_count(), batch_size)
+            args.seed, jax.process_index(), jax.process_count(), batch_size,
+            u8)
         return BatchLoader(make_iter, batch_size, num_workers=args.num_workers,
                            prebatched=True)
+    if u8:
+        print("WARNING: --device_normalize needs the native decoder "
+              "(native/build.sh); shipping normalized f32 instead",
+              flush=True)
     if native.available():
         print("Input pipeline: per-sample native decode + np.stack collate "
               "(TAE_TPU_NATIVE_TRAIN=0)", flush=True)

@@ -70,6 +70,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    nargs="+")
     p.add_argument("--log_freq", default=50, type=int,
                    help="print training metrics every N iterations")
+    p.add_argument("--device_normalize", action="store_true",
+                   help="ship uint8 pixels and normalize on device (4x "
+                        "smaller H2D copies; needs the native decoder)")
     _common.add_tpu_args(p)
     return p
 
@@ -107,7 +110,12 @@ def main(args) -> None:
         print(f"Auto-resumed {ckpt_dir} at iteration {start_it} "
               f"(best eval loss {best_eval_loss})")
 
+    from tae_tpu.data.transforms import maybe_device_normalize
+
     def loss_fn(p, imgs):
+        # uint8 batches (--device_normalize) normalize on device; the
+        # elementwise op fuses into the patch-embed read (transforms.py)
+        imgs = maybe_device_normalize(imgs, model.cfg.patch_size, jnp.float32)
         loss, _ = model.forward(p, imgs, policy=policy,
                                 backend=args.attn_backend, remat=args.remat)
         return loss, {}
@@ -182,6 +190,13 @@ def main(args) -> None:
                              log_stats)
 
             if args.display and display_samples is not None:
+                if display_samples.dtype == np.uint8:
+                    from tae_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+                    display_samples = ((display_samples.astype(np.float32) / 255.0
+                                        - np.asarray(IMAGENET_MEAN).reshape(-1, 1, 1))
+                                       / np.asarray(IMAGENET_STD).reshape(-1, 1, 1)
+                                       ).astype(np.float32)
                 _, pred = jax.jit(lambda p, x: model.forward(p, x, policy=policy))(
                     state.params, jnp.asarray(display_samples))
                 recon = np.asarray(model.unpatchify(pred), dtype=np.float32)

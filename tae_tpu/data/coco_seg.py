@@ -10,12 +10,15 @@ Re-creates the reference's segmentation data subsystem
     (v2_extras.py:51-76);
   * train-split filtering: images with no annotations or <=1000 annotated
     pixels in the VOC categories are dropped (coco_utils.py:63-81);
-  * mask sources: polygon lists (rasterized via PIL ImageDraw) and both
-    RLE forms — uncompressed count lists and pycocotools' compressed LEB128
-    string encoding (decoded in numpy).
+  * mask sources: polygon lists (numpy port of pycocotools' exact
+    ``rleFrPoly`` scan conversion — bit-identical integer arithmetic) and
+    both RLE forms — uncompressed count lists and pycocotools' compressed
+    LEB128 string encoding (decoded in numpy).
 
-Boundary-pixel note: PIL polygon rasterization can differ from pycocotools'
-scanline code by edge pixels; semantically equivalent, not bit-identical.
+Parity note: tests/test_segmentation.py carries a skip-if-unavailable test
+comparing all three decode paths against pycocotools output (bit-exact);
+this environment has no pycocotools, so the polygon path additionally pins
+hand-computed goldens of the same algorithm.
 """
 
 from __future__ import annotations
@@ -79,17 +82,71 @@ def decode_rle_counts(counts: list[int], height: int, width: int) -> np.ndarray:
     return flat.reshape(width, height).T
 
 
+def _poly_toggle_positions(xs, ys, height: int, width: int) -> np.ndarray:
+    """Column-major fill-toggle positions for one polygon ring — a numpy
+    port of pycocotools' ``rleFrPoly`` scan conversion (maskApi.c): vertex
+    coords upsampled 5x and rounded, every edge walked densely along its
+    major axis, vertical pixel-grid crossings collected where the upsampled
+    x changes and lands on a pixel center, each crossing toggling the fill
+    state of the rest of its column (even-odd rule). Bit-exact with
+    pycocotools by construction (same integer arithmetic)."""
+    scale = 5
+    x = (scale * np.asarray(xs, np.float64) + 0.5).astype(np.int64)
+    y = (scale * np.asarray(ys, np.float64) + 0.5).astype(np.int64)
+    x = np.append(x, x[0])
+    y = np.append(y, y[0])
+    us, vs = [], []
+    for j in range(len(x) - 1):
+        xs_, xe = int(x[j]), int(x[j + 1])
+        ys_, ye = int(y[j]), int(y[j + 1])
+        dx, dy = abs(xe - xs_), abs(ys_ - ye)
+        flip = (dx >= dy and xs_ > xe) or (dx < dy and ys_ > ye)
+        if flip:
+            xs_, xe, ys_, ye = xe, xs_, ye, ys_
+        if dx >= dy:
+            s = (ye - ys_) / dx if dx else 0.0
+            d = np.arange(dx + 1)
+            t = dx - d if flip else d
+            us.append(t + xs_)
+            vs.append((ys_ + s * t + 0.5).astype(np.int64))
+        else:
+            s = (xe - xs_) / dy if dy else 0.0
+            d = np.arange(dy + 1)
+            t = dy - d if flip else d
+            vs.append(t + ys_)
+            us.append((xs_ + s * t + 0.5).astype(np.int64))
+    u = np.concatenate(us)
+    v = np.concatenate(vs)
+    j = np.nonzero(u[1:] != u[:-1])[0] + 1
+    if not len(j):
+        return np.empty(0, np.int64)
+    uj, ujm1 = u[j], u[j - 1]
+    xd = np.where(uj < ujm1, uj, uj - 1).astype(np.float64)
+    xd = (xd + 0.5) / scale - 0.5
+    ok = (np.floor(xd) == xd) & (xd >= 0) & (xd <= width - 1)
+    yd = np.where(v[j] < v[j - 1], v[j], v[j - 1]).astype(np.float64)
+    yd = (yd + 0.5) / scale - 0.5
+    yd = np.ceil(np.clip(yd, 0, height))
+    return (xd[ok].astype(np.int64) * height + yd[ok].astype(np.int64))
+
+
 def rasterize_polygons(polys: list[list[float]], height: int, width: int
                        ) -> np.ndarray:
-    """Polygon list ([x0,y0,x1,y1,...] per part) -> (H, W) uint8 mask."""
-    from PIL import Image, ImageDraw
+    """Polygon list ([x0,y0,x1,y1,...] per part) -> (H, W) uint8 mask.
 
-    img = Image.new("L", (width, height), 0)
-    draw = ImageDraw.Draw(img)
+    Per-part masks use pycocotools' exact polygon scan conversion
+    (reference segmentation/coco_utils.py:27-41 goes through
+    ``coco_mask.frPyObjects``) and parts merge by union, matching the
+    reference's ``mask.any(axis=2)`` over per-part decoded masks."""
+    mask = np.zeros((height, width), np.uint8)
     for poly in polys:
         if len(poly) >= 6:
-            draw.polygon(list(map(float, poly)), outline=1, fill=1)
-    return np.asarray(img, np.uint8)
+            pos = _poly_toggle_positions(poly[0::2], poly[1::2], height, width)
+            flat = np.zeros(height * width + 1, np.int64)
+            np.add.at(flat, pos, 1)
+            mask |= (np.cumsum(flat[:-1]) % 2).astype(np.uint8) \
+                .reshape(width, height).T
+    return mask
 
 
 def annotation_mask(ann: dict, height: int, width: int) -> np.ndarray:

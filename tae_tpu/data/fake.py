@@ -93,3 +93,81 @@ def make_fake_coco(root: str | Path, n_train: int = 8, n_val: int = 4,
             "images": images, "annotations": annotations,
             "categories": [{"id": c, "name": str(c)} for c in range(1, 91)]}))
     return root
+
+
+def _structured_image(rng: np.random.Generator, size: int) -> np.ndarray:
+    """A natural-image-like synthetic composition: smooth gradient sky,
+    colored soft-edged shapes at multiple scales, and low-pass texture.
+
+    Pure noise (``_random_jpeg``) carries no learnable structure — an
+    autoencoder cannot compress it through a narrow bottleneck, so its MSE
+    plateaus immediately. These images have the strong spatial correlation
+    reconstruction training actually exploits, making loss trajectories on
+    them meaningful convergence evidence (docs/CONVERGENCE.md) in an
+    environment with no real ImageNet access."""
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    c0 = rng.uniform(0, 255, 3).astype(np.float32)
+    c1 = rng.uniform(0, 255, 3).astype(np.float32)
+    ang = rng.uniform(0, 2 * np.pi)
+    t = (np.cos(ang) * xx + np.sin(ang) * yy)[..., None]
+    t = (t - t.min()) / (t.max() - t.min() + 1e-6)
+    img = c0 + (c1 - c0) * t                          # gradient background
+    for _ in range(int(rng.integers(4, 10))):          # soft ellipses
+        cx, cy = rng.uniform(0, 1, 2)
+        rx, ry = rng.uniform(0.05, 0.45, 2)
+        theta = rng.uniform(0, np.pi)
+        dx, dy = xx - cx, yy - cy
+        u = (np.cos(theta) * dx + np.sin(theta) * dy) / rx
+        v = (-np.sin(theta) * dx + np.cos(theta) * dy) / ry
+        d = u * u + v * v
+        alpha = np.clip(1.5 - d * 1.5, 0.0, 1.0)[..., None]  # soft edge
+        col = rng.uniform(0, 255, 3).astype(np.float32)
+        img = img * (1 - alpha) + col * alpha
+    # low-pass texture: upsampled coarse noise (cheap separable repeat)
+    g = int(rng.integers(4, 16))
+    tex = rng.normal(0, rng.uniform(4, 24), (g, g, 3)).astype(np.float32)
+    tex = np.repeat(np.repeat(tex, -(-size // g), 0), -(-size // g), 1)
+    img = img + tex[:size, :size]
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def make_structured_wds_shard(path: str | Path, num_samples: int = 1000,
+                              size: int = 288, num_classes: int = 1000,
+                              seed: int = 0, quality: int = 90) -> Path:
+    """Like :func:`make_fake_wds_shard` but with structured (learnable)
+    images — the convergence-run fixture."""
+    import io as _io
+
+    from PIL import Image
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    with tarfile.open(path, "w") as tf:
+        for i in range(num_samples):
+            key = f"{i:06d}"
+            buf = _io.BytesIO()
+            Image.fromarray(_structured_image(rng, size), "RGB").save(
+                buf, format="JPEG", quality=quality)
+            jpg = buf.getvalue()
+            cls = str(int(rng.integers(0, num_classes))).encode()
+            for ext, data in (("jpg", jpg), ("cls", cls)):
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+    return path
+
+
+def make_structured_imagefolder(root: str | Path, num_images: int = 512,
+                                size: int = 288, seed: int = 10_000) -> Path:
+    """Structured-image val set (single class dir; eval only needs images)."""
+    from PIL import Image
+
+    root = Path(root)
+    d = root / "class_000"
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(num_images):
+        Image.fromarray(_structured_image(rng, size), "RGB").save(
+            d / f"img_{i:05d}.jpg", quality=90)
+    return root

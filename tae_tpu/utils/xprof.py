@@ -93,6 +93,34 @@ def top_ops(log_dir: str, device_substr: str = "TPU",
     ]
 
 
+def top_op_groups(log_dir: str, device_substr: str = "TPU",
+                  line_substr: str = "XLA Ops", limit: int = 25
+                  ) -> list[dict[str, Any]]:
+    """Like :func:`top_ops` but aggregated by op *signature* — the
+    ``= <shape> <kind>(<operand shapes>)`` part with the SSA value name and
+    layout/memory annotations stripped. Unstacked serving layouts give every
+    per-layer kernel a distinct op name; a per-instance top list then shows
+    15-21 copies of the same kernel and hides the tail (how the r2 profile
+    missed the non-matmul residue this view was built to expose)."""
+    import re
+
+    rows = top_ops(log_dir, device_substr, line_substr, limit=4096)
+    sig_dur: collections.Counter = collections.Counter()
+    sig_cnt: collections.Counter = collections.Counter()
+    for r in rows:
+        sig = r["name"].split("= ", 1)[-1]
+        sig = re.sub(r"\{[^}]*\}", "", sig)       # strip layout annotations
+        sig = re.sub(r"%[\w.\-]+", "", sig)       # strip operand value names
+        sig = re.sub(r"\s+", " ", sig).strip()[:140]
+        sig_dur[sig] += r["total_ms"]
+        sig_cnt[sig] += r["count"]
+    total = sum(sig_dur.values()) or 1.0
+    return [
+        {"name": sig, "total_ms": d, "count": sig_cnt[sig], "share": d / total}
+        for sig, d in sig_dur.most_common(limit)
+    ]
+
+
 def print_top_ops(log_dir: str, **kwargs) -> None:
     rows = top_ops(log_dir, **kwargs)
     print(f"{'ms':>10} {'share':>6} {'n':>5}  op")

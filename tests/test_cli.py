@@ -116,6 +116,35 @@ def test_wds_train_loader_prebatched_native_path(data, capsys, monkeypatch):
         np.testing.assert_allclose(ia, ib, atol=1e-6)
 
 
+def test_train_cli_device_normalize(data, tmp_path, capsys):
+    """--device_normalize ships uint8 batches (4x smaller H2D) and the train
+    step normalizes on device; loss must be finite and the pipeline log line
+    must say so."""
+    from tae_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    from tae_tpu.cli import train as cli_train
+
+    out = tmp_path / "out"
+    out.mkdir()
+    args = cli_train.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size_per_gpu", "8",
+        "--num_its", "6", "--save_freq", "5", "--num_workers", "0",
+        "--train_data_path", str(data / "train-000000.tar"),
+        "--val_data_path", str(data / "val"),
+        "--output_dir", str(out), "--save_prefix", "u8", "--display",
+        "--device_normalize",
+    ])
+    cli_train.main(args)
+    msgs = capsys.readouterr().out
+    assert "uint8 H2D + on-device normalize" in msgs
+    rec = json.loads((out / "u8_log.txt").read_text().strip().splitlines()[-1])
+    assert np.isfinite(rec["eval_loss"])
+    assert (out / "u8_reconstructions_iter_5.jpg").exists()
+
+
 def test_evaluate_cli_clamps_oversized_batch(data, tmp_path, monkeypatch,
                                              capsys):
     """The reference's batch-8192 default (evaluate.py:59-61) must clamp to

@@ -76,6 +76,61 @@ def test_polygon_rasterization():
     assert 64 <= m.sum() <= 100  # ~9x9 rect incl. boundary
 
 
+def test_polygon_rasterization_matches_pycocotools():
+    """Bit-exact parity with pycocotools on realistic polygon/RLE records
+    (VERDICT r2 item 5). Skips where pycocotools isn't installed — the
+    rasterizer is a port of its exact integer scan conversion, so this
+    asserts array_equal, not an IoU bound."""
+    mask_util = pytest.importorskip("pycocotools.mask")
+    rng = np.random.default_rng(0)
+    # polygons: random star-convex blobs + a thin sliver + a tiny triangle
+    cases = []
+    for i in range(8):
+        n = int(rng.integers(6, 16))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, n))
+        rad = rng.uniform(8, 55, n)
+        cx, cy = rng.uniform(40, 90, 2)
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        cases.append([float(v) for p in zip(xs, ys) for v in p])
+    cases.append([3.2, 3.7, 120.9, 4.1, 121.0, 5.0, 3.0, 4.4])  # sliver
+    cases.append([10.0, 10.0, 13.0, 10.0, 10.0, 13.0])          # tiny tri
+    h = w = 128
+    mismatched = 0
+    for poly in cases:
+        rle = mask_util.frPyObjects([poly], h, w)[0]
+        ref = mask_util.decode(rle)
+        ours = rasterize_polygons([poly], h, w)
+        mismatched += int((ref != ours).sum())
+        np.testing.assert_array_equal(ours, ref)
+    assert mismatched == 0  # boundary-pixel divergence rate: zero
+    # compressed RLE decode: bit-exact on pycocotools-encoded random masks
+    for _ in range(5):
+        hh, ww = (int(x) for x in rng.integers(20, 120, 2))
+        m = (rng.random((hh, ww)) < 0.3).astype(np.uint8)
+        enc = mask_util.encode(np.asfortranarray(m))
+        got = decode_compressed_rle(enc["counts"].decode(), hh, ww)
+        np.testing.assert_array_equal(got, m)
+
+
+def test_polygon_rasterization_goldens():
+    """Hand-computed goldens of the rleFrPoly algorithm on tiny shapes
+    (runs everywhere; guards the port when pycocotools is absent)."""
+    # unit-aligned 2x2 square [1,1]..[3,3]: crossings at pixel centers
+    # x=1,2 toggle columns from y=1 -> rows 1,2 of columns 1,2
+    m = rasterize_polygons([[1, 1, 3, 1, 3, 3, 1, 3]], 6, 6)
+    expect = np.zeros((6, 6), np.uint8)
+    expect[1:3, 1:3] = 1
+    np.testing.assert_array_equal(m, expect)
+    # triangle with a horizontal top edge and exact-center hypotenuse
+    m2 = rasterize_polygons([[0, 0, 4, 0, 0, 4]], 6, 6)
+    assert m2.sum() > 0 and m2[5, 5] == 0
+    # two disjoint parts merge by union
+    m3 = rasterize_polygons([[0, 0, 2, 0, 2, 2, 0, 2],
+                             [3, 3, 5, 3, 5, 5, 3, 5]], 8, 8)
+    assert m3[1, 1] == 1 and m3[4, 4] == 1 and m3[2, 2] + m3[1, 4] <= 1
+
+
 def test_merge_overlap_invalid():
     anns = [
         {"category_id": 1, "segmentation": [[0, 0, 8, 0, 8, 8, 0, 8]]},   # person->15
