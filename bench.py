@@ -25,6 +25,16 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the traffic-planned int8 kernels (r3) can
+# take minutes each to Mosaic-compile over the tunneled compile helper; a
+# warm cache cuts a cold bench run from ~45+ min of compiles to seconds.
+# Harmless no-op if the backend path bypasses it.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tae_tpu_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:
+    pass
+
 BASELINE_IMG_PER_SEC = 10_000.0
 K_LONG = 12
 # the headline (fastest) config runs a longer loop: per-iteration time is
@@ -103,14 +113,36 @@ def bench_encode(name: str, model_name: str, batch: int, int8: bool,
     return batch / per_iter
 
 
-def bench_train(batch: int = 64, steps: int = 8) -> float:
+#: v5e bf16 peak (TFLOP/s) for MFU reporting.
+V5E_BF16_PEAK = 197e12
+
+
+def p16_train_flops_per_img() -> float:
+    """Analytic forward FLOPs/image for tae_patch16_vocab256_px256
+    (d=1024, depth 15+15, N=256): per-block 24·N·d² (qkv+proj+mlp matmuls)
+    + 4·N²·d (attention), plus patch embed, bottleneck and pred heads."""
+    n, d, p, vocab, depth = 256, 1024, 16, 256, 15
+    block = 24 * n * d * d + 4 * n * n * d
+    embed = 2 * n * (3 * p * p) * d
+    heads = 2 * 2 * n * d * vocab + 2 * n * d * (p * p * 3)
+    return 2 * depth * block + embed + heads
+
+
+def bench_train(batch: int = 64, steps: int = 8) -> tuple[float, float]:
     """p16 training step, fp32 AdamW, micro-batch 64 with block
     rematerialization — the fastest measured single-chip configuration
     (remat shrinks the backward graph enough that mb 32/64 compile over the
     relay helper AND raises throughput: 149 -> 178 -> 192 img/s for
-    mb16-noremat -> mb32 -> mb64; bf16 moments add ~4% more but fp32 is the
-    reference-parity default). Grad accumulation provides effective batch
-    256."""
+    mb16-noremat -> mb32 -> mb64; bf16 moments measured +0.6-4%, fp32 is
+    the reference-parity default; XLA-attention variant measured 135 img/s
+    — the Pallas fwd+bwd attention kernels carry +43%). Grad accumulation
+    provides effective batch 256.
+
+    Returns (img/s, MFU) with MFU on the standard 3x-forward convention
+    (no credit for remat recompute; crediting it — 4x — the same rate reads
+    ~33% higher). r3 profile: the residual non-MFU time is scan
+    bookkeeping (grad dynamic-update-slices ~6%, residual adds ~7%, remat
+    checkpoint copies) + the softmax-bound attention tail."""
     from tae_tpu import models
     from tae_tpu.train import TrainState, adamw, make_train_step, step_lr
 
@@ -140,6 +172,66 @@ def bench_train(batch: int = 64, steps: int = 8) -> float:
         t2 = time.perf_counter()
         best = min(best, max((t2 - t1) - (t1 - t0), 1e-9) / steps)
     del params, state
+    rate = batch / best
+    mfu = rate * 3 * p16_train_flops_per_img() / V5E_BF16_PEAK
+    return rate, mfu
+
+
+def bench_train_recognition(batch: int = 64, steps: int = 6) -> float:
+    """Downstream in19k recognition train step (reference
+    recognition/train_recognition_in19k.py:102-168): frozen int8-serving
+    p16 encoder feeding a ViT-Base classifier, co-located stop_gradient
+    SPMD. int8 encoder measured 586 img/s vs the bf16-remat encoder's
+    compile-limited variant — the quantized frozen stage is the shipped
+    recommendation (docs/SERVING.md)."""
+    from tae_tpu import models
+    from tae_tpu.ops.int8 import prepare_serving_params
+    from tae_tpu.tokenizer import prune_component
+    from tae_tpu.train import TrainState, adamw, make_train_step, step_lr
+    from tae_tpu.train.losses import cross_entropy
+    from tae_tpu.utils.dtypes import Policy
+
+    enc_model = models.create("tae_patch16_vocab256_px256")
+    enc_params = jax.jit(lambda k: enc_model.init(k, dtype=jnp.bfloat16))(
+        jax.random.key(0))
+    enc_params = prepare_serving_params(prune_component(enc_params, "encoder"),
+                                        "int8")
+    enc_policy = Policy(param_dtype=jnp.bfloat16)
+    model = models.create("vit_recognition_numpatches256_vocab256_base",
+                          num_classes=19167)
+    params = jax.jit(model.init)(jax.random.key(1))
+    opt = adamw(weight_decay=0.0)
+    state = TrainState.create(params, opt)
+
+    def loss_fn(p, b):
+        x, y = b
+        z = jax.lax.stop_gradient(enc_model.forward_encoder(
+            enc_params, x, policy=enc_policy))
+        return cross_entropy(model.forward(p, z, remat=True), y), {}
+
+    step = jax.jit(make_train_step(loss_fn, opt, step_lr(1e-4, 1e-5, 500_000)),
+                   donate_argnums=0)
+    y = jnp.arange(batch, dtype=jnp.int32) % 19167
+    imgs = jax.random.normal(jax.random.key(2), (batch, 3, 256, 256),
+                             jnp.float32)
+
+    def run(n, s):
+        m = None
+        for i in range(n):
+            s, m = step(s, (imgs, y), jnp.int32(i))
+        float(m["loss"])
+        return s
+
+    state = run(1, state)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        state = run(1, state)
+        t1 = time.perf_counter()
+        state = run(steps + 1, state)
+        t2 = time.perf_counter()
+        best = min(best, max((t2 - t1) - (t1 - t0), 1e-9) / steps)
+    del params, state, enc_params
     return batch / best
 
 
@@ -149,9 +241,14 @@ def main() -> None:
         detail[name] = round(
             bench_encode(name, model_name, batch, int8, patchin), 1)
         print(f"# {name}: {detail[name]} img/s", flush=True)
-    detail["train_p16_fp32adam_mb64_remat"] = round(bench_train(), 1)
-    print(f"# train_p16_fp32adam_mb64_remat: "
-          f"{detail['train_p16_fp32adam_mb64_remat']} img/s", flush=True)
+    train_rate, train_mfu = bench_train()
+    detail["train_p16_fp32adam_mb64_remat"] = round(train_rate, 1)
+    detail["train_p16_mfu"] = round(train_mfu, 4)
+    print(f"# train_p16_fp32adam_mb64_remat: {detail['train_p16_fp32adam_mb64_remat']}"
+          f" img/s  MFU {train_mfu:.3f}", flush=True)
+    detail["train_rec19k_int8enc_mb64"] = round(bench_train_recognition(), 1)
+    print(f"# train_rec19k_int8enc_mb64: "
+          f"{detail['train_rec19k_int8enc_mb64']} img/s", flush=True)
 
     head_name, head = max(((k, v) for k, v in detail.items()
                            if k.startswith("encode")), key=lambda kv: kv[1])
@@ -161,6 +258,7 @@ def main() -> None:
         "value": head,
         "unit": "img/s",
         "vs_baseline": round(head / BASELINE_IMG_PER_SEC, 4),
+        "train_mfu": round(train_mfu, 4),
         "detail": detail,
     }))
 

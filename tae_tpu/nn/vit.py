@@ -352,11 +352,12 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     # int8-output attention pays an amax+quantize epilogue to delete the
     # XLA convert+quantize passes before proj. Measured: wins at tiny N
     # (p64 4991->5117, p128 ~+2%) where the wide kernel's f32 scratch is
-    # small, loses at large N (p16 2002->1973; p32 additionally loses its
-    # bh-1024 MLP blocking to the added VMEM pressure) — so it dispatches
-    # at N<=16. TAE_TPU_PACKED_ATTN_Q8=0/1 forces.
+    # small, and — after the r3 traffic-planned matmul blocking — at N>=128
+    # too (p16 2317->2363; under the r2 blocking it lost there). N=64 (p32)
+    # keeps bf16 output: the q8 scratch's VMEM pressure costs p32 its
+    # bh-1024 MLP blocking. TAE_TPU_PACKED_ATTN_Q8=0/1 forces.
     env_q8 = os.environ.get("TAE_TPU_PACKED_ATTN_Q8", "")
-    use_q8 = env_q8 != "0" if env_q8 else n <= 16
+    use_q8 = env_q8 != "0" if env_q8 else (n <= 16 or n >= 128)
     if not interpret and n >= _fused_attn_minn():
         # same measured dispatch rule as attention_apply
         from tae_tpu.ops.pallas.flash_attention import (fused_qkv_attention,

@@ -78,6 +78,57 @@ def _block_k(dim: int, cap: int = 4096) -> int:
     return _block(dim, cap)
 
 
+def _plan_blocks(m: int, k: int, n: int, out_bytes: int = 2,
+                 has_residual: bool = False,
+                 budget: int | None = None) -> tuple[int, int, int]:
+    """Choose (bm, bn, bk) minimizing estimated HBM traffic under a VMEM
+    budget. In the (M/bm, N/bn, K/bk) grid the weight re-streams ceil(m/bm)
+    times and the activation ceil(n/bn) times, so the r2 fixed bm=256 left
+    the large-M encode configs HBM-bound: at p16 (m=32768) the qkv weight
+    streamed 128x (~384 MB redundant traffic — profiled at 72% of int8 peak
+    where the MLP kernel hits 84%). Small m keeps the one-m-block behavior
+    (the r2c serve-latency fix) automatically: m/bm = 1 minimizes weight
+    traffic. ``TAE_TPU_I8_BM``/``TAE_TPU_I8_BN`` override for on-chip
+    tuning."""
+    import os
+
+    bk = _block_k(k)
+    env_bm, env_bn = (os.environ.get("TAE_TPU_I8_BM"),
+                      os.environ.get("TAE_TPU_I8_BN"))
+    if budget is None:
+        budget = int(os.environ.get("TAE_TPU_I8_VMEM_BUDGET", 14 << 20))
+    m_pad = -(-m // 32) * 32
+    if m_pad <= 256 and not (env_bm or env_bn):
+        # small-batch serving latency regime: weight-DMA-bound, one m-block
+        # either way; keep the r2c-measured blocking (bn 768 measured -11%
+        # on serve_p64_int8_b8)
+        return m_pad, _block(n, 512), bk
+    best = None
+    for bm_c in ((int(env_bm),) if env_bm else (1024, 512, 256)):
+        bm = min(bm_c, m_pad)
+        for bn_cap in ((int(env_bn),) if env_bn else (1024, 768, 512, 256)):
+            bn = _block(n, bn_cap)
+            # empirical Mosaic footprint model, calibrated against observed
+            # compile pass/fails on v5e: ~3x the x block (double-buffer +
+            # epilogue copy), double-buffered weight block, int32
+            # accumulator, double-buffered out (bm=1024, bk=3072, bn=512
+            # measured 16.36M actual vs 13.4M with a naive 2x-in model)
+            vmem = (3 * bm * bk + 2 * bk * bn + 4 * bm * bn
+                    + 2 * out_bytes * bm * bn
+                    + (2 * bm * bn * 2 if has_residual else 0))
+            if vmem > budget:
+                continue
+            traffic = (-(-m_pad // bm) * k * n      # weight re-streams
+                       + -(-n // bn) * m_pad * k    # activation re-streams
+                       + m_pad * n * out_bytes)
+            key = (traffic, -bm, -bn)
+            if best is None or key < best[0]:
+                best = (key, (bm, bn, bk))
+    if best is None:  # tiny-VMEM corner: fall back to the r2 blocking
+        return min(256, m_pad), _block(n, 512), bk
+    return best[1]
+
+
 def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 bias: jnp.ndarray | None = None,
                 backend: str | None = None,
@@ -119,11 +170,19 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     sx2 = x_scale.reshape(-1, 1) if x_scale is not None else None
     res2 = residual.reshape(-1, n) if residual is not None else None
     m = x2.shape[0]
-    # one m-block when the batch is small: weight blocks restream once per
-    # m-block, so bm=8 at m=128 streamed the full weight matrix 16x —
-    # measured as the 15 ms p64 batch-8 latency (weights dominate there).
-    # Pad m up to the int8 sublane tile (32) instead.
-    bm = 256 if m >= 256 else -(-m // 32) * 32
+    out_el = jnp.dtype(out_dtype or (x.dtype if x_scale is None
+                                     else jnp.bfloat16)).itemsize
+    if q8_out:
+        # q8_out scale blocks are part of the consumer contract
+        # (fused_qkv_attention_i8 requires bn % dh == 0 with bn=_block(n,512))
+        # — keep the r2 blocking there
+        bm = 256 if m >= 256 else -(-m // 32) * 32
+        bm, bn, bk = min(bm, -(-m // 32) * 32), _block(n, 512), _block_k(k)
+    else:
+        # traffic-minimizing blocks (see _plan_blocks): fixed bm=256 left
+        # the large-M configs weight-restream-bound (p16 qkv: 128x restream)
+        bm, bn, bk = _plan_blocks(m, k, n, out_bytes=out_el,
+                                  has_residual=res2 is not None)
     pad = (-m) % bm
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
@@ -136,7 +195,7 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     # at (2048,2560)x(2560,10240); small block_k configurations only tie bf16
     y = int8_matmul_fused(x2, w_q, w_scale, bias,
                           block_m=min(bm, x2.shape[0]),
-                          block_n=_block(n, 512), block_k=_block_k(k),
+                          block_n=bn, block_k=bk,
                           out_dtype=out_dtype or (x.dtype if x_scale is None
                                                   else jnp.bfloat16),
                           x_scale=sx2, residual=res2, q8_out=q8_out,
