@@ -291,7 +291,8 @@ def block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
 
 
 def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False, ln_in=None, norm1_next=None,
+                     chain: bool = False):
     """Fully fused quantized serving path for one pre-LN block (w8a8 params
     from tae_tpu.ops.int8.quantize_params, or the packed-int4 w4a8 layout of
     tae_tpu.ops.int4 — dispatched per-leaf, mixed trees fine). Every
@@ -307,8 +308,13 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     dh = c // h
     x2 = x.reshape(b * n, c)
     # --- attention half: x = x + proj(attn(qkv(LN(x)))) ---
-    xq, sx = ln_quant(x2, p["norm1"]["scale"], p["norm1"]["bias"],
-                      cfg.ln_eps, interpret=interpret)
+    if ln_in is not None:
+        # chained from the previous layer's MLP epilogue (the standalone
+        # ln_quant read of the residual stream is skipped entirely)
+        xq, sx = ln_in
+    else:
+        xq, sx = ln_quant(x2, p["norm1"]["scale"], p["norm1"]["bias"],
+                          cfg.ln_eps, interpret=interpret)
     a = p["attn"]
     import os
 
@@ -340,7 +346,10 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
         x2 = _qlinear(a["proj"], y.reshape(b * n, c),
                       backend="pallas" if not interpret else None,
                       residual=x2, out_dtype=x.dtype, interpret=interpret)
-        return _int8_mlp_half(p, x2, cfg, interpret).reshape(b, n, c)
+        out, ln_next = _int8_mlp_half(p, x2, cfg, interpret,
+                                      norm1_next=norm1_next)
+        out = out.reshape(b, n, c)
+        return (out, ln_next) if chain else out
     qkv = _qlinear(a["qkv"], xq, x_scale=sx, out_dtype=x.dtype,
                    interpret=interpret)
     # attention emits int8 + per-row scales directly (the proj matmul's
@@ -384,29 +393,65 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
         y = attention(r[0], r[1], r[2], backend="xla")
         y = y.transpose(0, 2, 1, 3).reshape(b * n, c)
         y_scale = None
-    x2 = _qlinear(a["proj"], y, x_scale=y_scale,
-                  backend="pallas" if not interpret else None,
-                  residual=x2, out_dtype=x.dtype, interpret=interpret)
-    return _int8_mlp_half(p, x2, cfg, interpret).reshape(b, n, c)
+    ln2 = None
+    if "w_q" in a["proj"]:
+        # LN-chained proj epilogue: norm2 + quantize ride the matmul that
+        # already holds the full residual row in VMEM (falls back to the
+        # standalone ln_quant when the full-row block doesn't fit)
+        from tae_tpu.ops.int8 import int8_linear
+
+        x2, xq2, sx2 = int8_linear(
+            y, a["proj"]["w_q"], a["proj"]["w_scale"], a["proj"].get("b"),
+            x_scale=y_scale, residual=x2, out_dtype=x.dtype,
+            backend="pallas", interpret=interpret,
+            ln_out=(p["norm2"]["scale"], p["norm2"]["bias"], cfg.ln_eps))
+        if xq2 is not None:
+            ln2 = (xq2, sx2)
+    else:
+        x2 = _qlinear(a["proj"], y, x_scale=y_scale,
+                      backend="pallas" if not interpret else None,
+                      residual=x2, out_dtype=x.dtype, interpret=interpret)
+    out, ln_next = _int8_mlp_half(p, x2, cfg, interpret, ln2=ln2,
+                                  norm1_next=norm1_next)
+    out = out.reshape(b, n, c)
+    return (out, ln_next) if chain else out
 
 
 def _int8_mlp_half(p: Params, x2: jnp.ndarray, cfg: BlockConfig,
-                   interpret: bool) -> jnp.ndarray:
-    """x = x + fc2(gelu(fc1(LN(x)))), one fused kernel (int8 or int4)."""
+                   interpret: bool, ln2=None, norm1_next=None):
+    """x = x + fc2(gelu(fc1(LN(x)))), one fused kernel (int8 or int4).
+
+    ``ln2``: (xq, sx) of LN(norm2, x2) when the proj epilogue already
+    produced it. ``norm1_next``: the NEXT layer's norm1 affine — chained
+    into the MLP epilogue when it fits. Returns (y, ln_next_or_None)."""
     from tae_tpu.ops.pallas.int8_block import int8_mlp, ln_quant
 
-    xq2, sx2 = ln_quant(x2, p["norm2"]["scale"], p["norm2"]["bias"],
-                        cfg.ln_eps, interpret=interpret)
+    if ln2 is not None:
+        xq2, sx2 = ln2
+    else:
+        xq2, sx2 = ln_quant(x2, p["norm2"]["scale"], p["norm2"]["bias"],
+                            cfg.ln_eps, interpret=interpret)
     f1, f2 = p["mlp"]["fc1"], p["mlp"]["fc2"]
     if "w4" in f1:
         from tae_tpu.ops.pallas.int4_block import int4_mlp
 
         return int4_mlp(xq2, sx2, f1["w4"], f1["w4_scale"], f1["b"],
                         f2["w4"], f2["w4_scale"], f2["b"], residual=x2,
-                        out_dtype=x2.dtype, interpret=interpret)
+                        out_dtype=x2.dtype, interpret=interpret), None
+    import os
+
+    ln_next_arg = None
+    if norm1_next is not None and os.environ.get("TAE_TPU_LN_CHAIN") != "0":
+        ln_next_arg = (norm1_next["scale"], norm1_next["bias"], cfg.ln_eps)
+    if ln_next_arg is not None:
+        y, nq, ns = int8_mlp(xq2, sx2, f1["w_q"], f1["w_scale"], f1["b"],
+                             f2["w_q"], f2["w_scale"], f2["b"], residual=x2,
+                             out_dtype=x2.dtype, interpret=interpret,
+                             ln_next=ln_next_arg)
+        return y, ((nq, ns) if nq is not None else None)
     return int8_mlp(xq2, sx2, f1["w_q"], f1["w_scale"], f1["b"],
                     f2["w_q"], f2["w_scale"], f2["b"], residual=x2,
-                    out_dtype=x2.dtype, interpret=interpret)
+                    out_dtype=x2.dtype, interpret=interpret), None
 
 
 def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,
@@ -440,8 +485,23 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
     default; exposed for experimentation on other topologies.
     """
     if isinstance(stacked, (list, tuple)):
-        for layer in stacked:
-            x = block_apply(layer, x, cfg, backend=backend)
+        from tae_tpu.ops.attention import default_backend
+
+        pallas = (backend or default_backend()) == "pallas"
+        ln = None
+        for i, layer in enumerate(stacked):
+            fc1 = layer.get("mlp", {}).get("fc1", {}) \
+                if isinstance(layer, dict) else {}
+            if not (pallas and "w_q" in fc1 and not cfg.qk_norm):
+                x = block_apply(layer, x, cfg, backend=backend)
+                ln = None
+                continue
+            nxt = stacked[i + 1] if i + 1 < len(stacked) else None
+            nfc1 = nxt.get("mlp", {}).get("fc1", {}) \
+                if isinstance(nxt, dict) else {}
+            norm1_next = nxt["norm1"] if "w_q" in nfc1 else None
+            x, ln = int8_block_apply(layer, x, cfg, ln_in=ln,
+                                     norm1_next=norm1_next, chain=True)
         return x
     fn = lambda carry, layer: (block_apply(layer, carry, cfg, backend=backend), None)
     if remat:

@@ -129,13 +129,34 @@ def _plan_blocks(m: int, k: int, n: int, out_bytes: int = 2,
     return best[1]
 
 
+def _ln_chain_plan(m_pad: int, k: int, n: int, out_el: int,
+                   has_res: bool) -> tuple[int, int, int] | None:
+    """Feasible (bm, n, bk) for the LN-chained epilogue (needs a FULL
+    feature row per block, bn == n) under the same empirical VMEM model
+    plus the epilogue's LN temporaries and extra (bm, n) s8 output."""
+    import os
+
+    if os.environ.get("TAE_TPU_LN_CHAIN") == "0":
+        return None  # kill-switch for the chained epilogues
+    budget = int(os.environ.get("TAE_TPU_I8_VMEM_BUDGET", 14 << 20))
+    bk = _block_k(k)
+    for bm_c in (512, 384, 256, 128, 64, 32):
+        bm = min(bm_c, m_pad)
+        vm = (3 * bm * bk + 2 * bk * n + 4 * bm * n + 2 * out_el * bm * n
+              + (2 * bm * n * 2 if has_res else 0)
+              + 8 * bm * n + 2 * 128 * n)
+        if vm <= budget:
+            return bm, n, bk
+    return None
+
+
 def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                 bias: jnp.ndarray | None = None,
                 backend: str | None = None,
                 x_scale: jnp.ndarray | None = None,
                 residual: jnp.ndarray | None = None,
                 out_dtype=None, q8_out: bool = False,
-                interpret: bool = False):
+                interpret: bool = False, ln_out=None):
     """x (..., in) @ int8 weight. Dispatches to the fused Pallas matmul on
     TPU (activation quantization in VMEM, int8 weight streaming, fused
     dequant epilogue); XLA fallback elsewhere.
@@ -159,7 +180,8 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         y = int8_linear_xla(x, w_q, w_scale, bias)
         if out_dtype is not None:
             y = y.astype(out_dtype)
-        return y + residual.astype(y.dtype) if residual is not None else y
+        y = y + residual.astype(y.dtype) if residual is not None else y
+        return (y, None, None) if ln_out is not None else y
 
     from tae_tpu.ops.pallas.int8_matmul import int8_matmul_fused
 
@@ -172,7 +194,16 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     m = x2.shape[0]
     out_el = jnp.dtype(out_dtype or (x.dtype if x_scale is None
                                      else jnp.bfloat16)).itemsize
-    if q8_out:
+    want_ln = ln_out is not None
+    if want_ln:
+        plan = _ln_chain_plan(-(-m // 32) * 32, k, n,
+                              jnp.dtype(out_dtype or jnp.bfloat16).itemsize,
+                              res2 is not None)
+        if plan is None:
+            want_ln, ln_out = False, None
+    if want_ln:
+        bm, bn, bk = plan
+    elif q8_out:
         # q8_out scale blocks are part of the consumer contract
         # (fused_qkv_attention_i8 requires bn % dh == 0 with bn=_block(n,512))
         # — keep the r2 blocking there
@@ -199,7 +230,13 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                           out_dtype=out_dtype or (x.dtype if x_scale is None
                                                   else jnp.bfloat16),
                           x_scale=sx2, residual=res2, q8_out=q8_out,
-                          interpret=interpret)
+                          interpret=interpret, ln_out=ln_out)
+    if want_ln:
+        y, nq, ns = y
+        if pad:
+            y, nq, ns = y[:m], nq[:m], ns[:m]
+        return (y.reshape(*lead, n), nq.reshape(*lead, n),
+                ns.reshape(*lead, 1))
     if q8_out:
         yq, ys = y
         if pad:
@@ -207,7 +244,8 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         return yq.reshape(*lead, n), ys
     if pad:
         y = y[:m]
-    return y.reshape(*lead, n)
+    res_out = y.reshape(*lead, n)
+    return (res_out, None, None) if ln_out is not None else res_out
 
 
 def equalize_params(params: Params, alpha: float = 0.5,

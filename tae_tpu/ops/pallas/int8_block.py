@@ -93,8 +93,28 @@ def ln_quant(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
 # fused int8 MLP (fc1 -> GELU -> requantize -> fc2) + residual
 # ---------------------------------------------------------------------------
 
+def _ln_quant_epilogue(y, g_ref, be_ref, xq_ref, s_ref, eps: float):
+    """Shared LN->int8 epilogue body: y (bm, D) f32 is a FULL feature row,
+    so LayerNorm statistics are exact in the epilogue. Writes the quantized
+    next-op input + per-row scales (the chained layout ln_quant produces)."""
+    mean = jnp.mean(y, axis=-1, keepdims=True)
+    yc = y - mean
+    var = jnp.mean(yc * yc, axis=-1, keepdims=True)
+    z = yc * jax.lax.rsqrt(var + eps) * g_ref[:].astype(jnp.float32) \
+        + be_ref[:].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(z), axis=-1, keepdims=True) / 127.0, 1e-12)
+    xq_ref[:] = jnp.clip(jnp.round(z * pl.reciprocal(s, approx=False)),
+                         -127.0, 127.0).astype(jnp.int8)
+    s_ref[:] = s
+
+
 def _mlp_kernel(xq_ref, sx_ref, w1_ref, sw1_ref, b1_ref, w2_ref,
-                sw2_ref, b2_ref, res_ref, o_ref, acc_ref, *, n_h: int):
+                sw2_ref, b2_ref, res_ref, *refs, n_h: int,
+                ln_eps: float | None = None):
+    if ln_eps is not None:
+        g_ref, be_ref, o_ref, nq_ref, ns_ref, acc_ref = refs
+    else:
+        o_ref, acc_ref = refs
     hb = pl.program_id(1)
 
     @pl.when(hb == 0)
@@ -123,6 +143,11 @@ def _mlp_kernel(xq_ref, sx_ref, w1_ref, sw1_ref, b1_ref, w2_ref,
         y = acc_ref[:] * sw2_ref[:] + b2_ref[:].astype(jnp.float32) \
             + res_ref[:].astype(jnp.float32)
         o_ref[:] = y.astype(o_ref.dtype)
+        if ln_eps is not None:
+            # chain: the NEXT layer's pre-LN quantized input leaves this
+            # kernel too — the standalone ln_quant's full re-read of the
+            # residual stream (one (M, D) bf16 pass per layer half) vanishes
+            _ln_quant_epilogue(y, g_ref, be_ref, nq_ref, ns_ref, ln_eps)
 
 
 def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
@@ -130,7 +155,8 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
              w2_q: jnp.ndarray, w2_scale: jnp.ndarray, b2: jnp.ndarray,
              residual: jnp.ndarray, block_m: int | None = None,
              block_h: int | None = None,
-             out_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+             out_dtype=jnp.bfloat16, interpret: bool = False,
+             ln_next=None):
     """residual + fc2(gelu(fc1(dequant(xq)))) with int8 weights, one kernel.
 
     xq (M, D) int8 with per-row scales sx (M, 1) — the output of
@@ -140,6 +166,13 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
     Weight blocks are re-streamed once per M block, so larger ``block_m``
     cuts HBM weight traffic linearly until VMEM runs out; defaults are
     env-overridable (TAE_TPU_INT8_MLP_BM / _BH) for on-chip tuning.
+
+    ``ln_next = (gamma, beta, eps)`` chains the NEXT pre-LN + quantize into
+    the epilogue (the output block is already a full feature row, so LN
+    statistics are exact): returns ``(y, xq_next, sx_next)`` instead of
+    ``y``, and the per-layer standalone ln_quant read of the residual
+    stream disappears. Falls back to ``(y, None, None)`` when the extra
+    VMEM doesn't fit — callers must handle the standalone path then.
     """
     m, d = xq.shape
     hdim = w1_q.shape[1]
@@ -172,6 +205,17 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
             block_h //= 2
     bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
     bh = _lane_block(hdim, block_h)
+    want_ln = ln_next is not None
+    if ln_next is not None:
+        # chained epilogue adds an s8 (bm, d) + (bm, 1) output pair plus LN
+        # temporaries; re-check the same analytic budget with that overhead
+        # and fall back (caller runs standalone ln_quant) when it busts
+        bm_est = min(block_m, m)
+        extra = 8 * bm_est * d + 2 * 128 * d
+        if (14 * bm_est * d + 4 * d * bh + 1024 * bm_est
+                + 128 * (bh + d) + extra) > 16 * 1024 * 1024 \
+                and not os.environ.get("TAE_TPU_INT8_MLP_LN_FORCE"):
+            ln_next = None
     pad = (-m) % bm
     if pad:
         xq = jnp.pad(xq, ((0, pad), (0, 0)))
@@ -180,31 +224,58 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
     mp = xq.shape[0]
     n_h = hdim // bh
 
-    out = pl.pallas_call(
-        functools.partial(_mlp_kernel, n_h=n_h),
+    in_specs = [
+        pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bh, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xq, sx, w1_q, w1_scale.reshape(1, hdim).astype(jnp.float32),
+                b1.reshape(1, hdim).astype(jnp.float32), w2_q,
+                w2_scale.reshape(1, d).astype(jnp.float32),
+                b2.reshape(1, d).astype(jnp.float32), residual]
+    out_specs = [pl.BlockSpec((bm, d), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((mp, d), out_dtype)]
+    if ln_next is not None:
+        gamma, beta, eps = ln_next
+        in_specs += [pl.BlockSpec((1, d), lambda i, j: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+        operands += [gamma.reshape(1, d), beta.reshape(1, d)]
+        out_specs += [
+            pl.BlockSpec((bm, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [jax.ShapeDtypeStruct((mp, d), jnp.int8),
+                      jax.ShapeDtypeStruct((mp, 1), jnp.float32)]
+        body = functools.partial(_mlp_kernel, n_h=n_h, ln_eps=float(eps))
+    else:
+        body = functools.partial(_mlp_kernel, n_h=n_h)
+
+    res = pl.pallas_call(
+        body,
         grid=(mp // bm, n_h),
-        in_specs=[
-            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bh), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bh, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, d), lambda i, j: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, d), out_dtype),
+        in_specs=in_specs,
+        out_specs=out_specs if ln_next is not None else out_specs[0],
+        out_shape=out_shape if ln_next is not None else out_shape[0],
         scratch_shapes=[pltpu.VMEM((bm, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(xq, sx, w1_q, w1_scale.reshape(1, hdim).astype(jnp.float32),
-      b1.reshape(1, hdim).astype(jnp.float32), w2_q,
-      w2_scale.reshape(1, d).astype(jnp.float32),
-      b2.reshape(1, d).astype(jnp.float32), residual)
+    )(*operands)
+    if ln_next is not None:
+        out, nq, ns = res
+        if pad:
+            out, nq, ns = out[:m], nq[:m], ns[:m]
+        return out, nq, ns
+    out = res
     if pad:
         out = out[:m]
-    return out
+    return (out, None, None) if want_ln else out

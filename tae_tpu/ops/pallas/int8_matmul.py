@@ -29,7 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, res_ref, o_ref, acc_ref, *,
             n_k: int, has_bias: bool, has_residual: bool,
-            quantize_in_kernel: bool, q8_out: bool = False, so_ref=None):
+            quantize_in_kernel: bool, q8_out: bool = False, so_ref=None,
+            ln_eps: float | None = None, g_ref=None, be_ref=None,
+            nq_ref=None, ns_ref=None):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -64,6 +66,14 @@ def _kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, res_ref, o_ref, acc_ref, *,
             so_ref[0] = s
         else:
             o_ref[:] = y.astype(o_ref.dtype)
+            if ln_eps is not None:
+                # chained LN -> int8 epilogue (requires bn == N: the block
+                # holds a full feature row, so the statistics are exact) —
+                # emits the next op's quantized input alongside y, deleting
+                # the standalone ln_quant pass's (M, N) bf16 re-read
+                from tae_tpu.ops.pallas.int8_block import _ln_quant_epilogue
+
+                _ln_quant_epilogue(y, g_ref, be_ref, nq_ref, ns_ref, ln_eps)
 
 
 def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
@@ -74,7 +84,8 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
                       x_scale: jnp.ndarray | None = None,
                       residual: jnp.ndarray | None = None,
                       q8_out: bool = False,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      ln_out=None):
     """x (M, K) float, w_q (K, N) int8, w_scale (N,) -> (M, N).
 
     ``prequantize=True`` (default) quantizes x to int8 once with a cheap XLA
@@ -128,7 +139,61 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     res_map = (lambda i, j, kk: (i, j)) if has_residual \
         else (lambda i, j, kk: (0, j))
 
+    if ln_out is not None and (q8_out or block_n != n):
+        raise ValueError("ln_out requires a full-row n block and not q8_out")
+
     qik = x_scale is None and not prequantize
+    if ln_out is not None:
+        gamma, beta, eps = ln_out
+        body = lambda xr, wr, sxr, swr, br, rr, gr, ber, or_, nqr, nsr, accr: \
+            _kernel(  # noqa: E731
+                xr, wr, sxr, swr, br, rr, or_, accr, n_k=n_k,
+                has_bias=has_bias, has_residual=has_residual,
+                quantize_in_kernel=qik, ln_eps=float(eps), g_ref=gr,
+                be_ref=ber, nq_ref=nqr, ns_ref=nsr)
+        out_specs = [
+            pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, block_n), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((m, n), out_dtype or jnp.bfloat16),
+                     jax.ShapeDtypeStruct((m, n), jnp.int8),
+                     jax.ShapeDtypeStruct((m, 1), jnp.float32)]
+        res = pl.pallas_call(
+            body,
+            grid=(m // block_m, n // block_n, n_k),
+            in_specs=[
+                pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_m, 1), lambda i, j, kk: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((res_bm, block_n), res_map,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_n), lambda i, j, kk: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(x, w_q, sx, w_scale.reshape(1, n).astype(jnp.float32),
+          b_arg.astype(jnp.float32), res_arg,
+          gamma.reshape(1, n), beta.reshape(1, n))
+        return res
+
     if q8_out:
         body = lambda xr, wr, sxr, swr, br, rr, or_, sor, accr: _kernel(  # noqa: E731
             xr, wr, sxr, swr, br, rr, or_, accr, n_k=n_k, has_bias=has_bias,

@@ -783,3 +783,40 @@ def test_fused_qkv_attention_serving_false_exact_outside_clamps():
     val, _ = jax.value_and_grad(f)(qkv)
     np.testing.assert_allclose(float(val), float(jnp.sum(out_exact)),
                                rtol=1e-5)
+
+
+def test_int8_block_ln_chain_matches_float_stack():
+    """Multi-layer int8 serving with LN chaining — norm2 fused into the
+    proj epilogue, the next layer's norm1 fused into the MLP epilogue
+    (r3) — vs the float stack, and vs the unchained int8 path (which
+    differs only by the bf16 rounding of the residual stream the
+    standalone ln_quant re-reads)."""
+    from tae_tpu.nn.vit import BlockConfig, block_apply, block_init, \
+        int8_block_apply
+    from tae_tpu.ops.int8 import quantize_params
+
+    cfg = BlockConfig(dim=128, num_heads=4)
+    layers = [block_init(jax.random.key(40 + i), cfg) for i in range(3)]
+    qlayers = [quantize_params(p) for p in layers]
+    x = jax.random.normal(jax.random.key(50), (2, 16, 128), jnp.float32)
+
+    ref = x
+    for p in layers:
+        ref = block_apply(p, ref, cfg, backend="xla")
+
+    got, ln = x, None
+    for i, pq in enumerate(qlayers):
+        n1n = qlayers[i + 1]["norm1"] if i + 1 < len(qlayers) else None
+        got, ln = int8_block_apply(pq, got, cfg, interpret=True,
+                                   ln_in=ln, norm1_next=n1n, chain=True)
+    assert ln is None  # last layer has no successor to chain into
+
+    unchained = x
+    for pq in qlayers:
+        unchained = int8_block_apply(pq, unchained, cfg, interpret=True)
+
+    rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
+    assert rel < 0.05, rel
+    rel_u = float(jnp.mean(jnp.abs(got - unchained))
+                  / jnp.mean(jnp.abs(unchained)))
+    assert rel_u < 0.02, rel_u
