@@ -141,10 +141,9 @@ class TAE:
             x = imgs.astype(policy.compute_dtype)
             x = vit.patch_embed_apply(enc["patch_embed"], x, c.patch_size)
         x = x + enc["pos_embed"]
-        x = vit.blocks_apply(enc["blocks"], x, c.enc_block, backend=backend,
-                             remat=remat, unroll=unroll)
-        x = vit.layer_norm_apply(enc["norm"], x, c.ln_eps)
-        x = vit.linear_apply(enc["dict_proj"], x)
+        x = self._blocks_then_head(enc, x, c.enc_block, "dict_proj",
+                                   backend=backend, remat=remat,
+                                   unroll=unroll, policy=policy)
         return policy.cast_to_output(x)
 
     def forward_decoder(self, params: Params, z: jnp.ndarray, *,
@@ -157,11 +156,34 @@ class TAE:
         x = z.astype(policy.compute_dtype)
         x = vit.linear_apply(dec["embed"], x)
         x = x + dec["pos_embed"]
-        x = vit.blocks_apply(dec["blocks"], x, c.dec_block, backend=backend,
-                             remat=remat, unroll=unroll)
-        x = vit.layer_norm_apply(dec["norm"], x, c.ln_eps)
-        x = vit.linear_apply(dec["pred"], x)
+        x = self._blocks_then_head(dec, x, c.dec_block, "pred",
+                                   backend=backend, remat=remat,
+                                   unroll=unroll, policy=policy)
         return policy.cast_to_output(x)
+
+    def _blocks_then_head(self, half: Params, x: jnp.ndarray, block_cfg,
+                          head: str, *, backend, remat, unroll, policy):
+        """Block stack -> final LN -> head linear; in the int8 serving
+        layout (unstacked blocks + quantized head) the final LN + head-
+        input quantize chain into the last block's MLP epilogue."""
+        c = self.cfg
+        chain = (isinstance(half["blocks"], (list, tuple))
+                 and "w_q" in half.get(head, {}))
+        out = vit.blocks_apply(half["blocks"], x, block_cfg, backend=backend,
+                               remat=remat, unroll=unroll,
+                               final_norm=half["norm"] if chain else None)
+        if chain:
+            x, ln = out
+            if ln is not None:
+                xq, sx = ln
+                b_, n_, _ = x.shape
+                y = vit._qlinear(half[head], xq, x_scale=sx,
+                                 out_dtype=policy.compute_dtype)
+                return y.reshape(b_, n_, -1)
+        else:
+            x = out
+        x = vit.layer_norm_apply(half["norm"], x, c.ln_eps)
+        return vit.linear_apply(half[head], x)
 
     def forward_loss(self, imgs: jnp.ndarray, pred: jnp.ndarray) -> jnp.ndarray:
         """Mean per-pixel MSE in patch space, computed in fp32

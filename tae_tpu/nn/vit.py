@@ -463,7 +463,7 @@ def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,
 
 def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
                  backend: str | None = None, remat: bool | str = False,
-                 unroll: bool = False) -> jnp.ndarray:
+                 unroll: bool = False, final_norm: Params | None = None):
     """Apply a depth-stacked block stack with ``lax.scan``.
 
     ``stacked`` may instead be a list of per-layer param trees (the serving
@@ -499,10 +499,18 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
             nxt = stacked[i + 1] if i + 1 < len(stacked) else None
             nfc1 = nxt.get("mlp", {}).get("fc1", {}) \
                 if isinstance(nxt, dict) else {}
-            norm1_next = nxt["norm1"] if "w_q" in nfc1 else None
+            if "w_q" in nfc1:
+                norm1_next = nxt["norm1"]
+            elif nxt is None and final_norm is not None:
+                # chain the FINAL LayerNorm + head-input quantize into the
+                # last block's MLP epilogue (the final LN+head pass was on
+                # the r2 list of non-matmul encode-tail suspects)
+                norm1_next = final_norm
+            else:
+                norm1_next = None
             x, ln = int8_block_apply(layer, x, cfg, ln_in=ln,
                                      norm1_next=norm1_next, chain=True)
-        return x
+        return (x, ln) if final_norm is not None else x
     fn = lambda carry, layer: (block_apply(layer, carry, cfg, backend=backend), None)
     if remat:
         policies = {
@@ -514,4 +522,4 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
         fn = jax.checkpoint(fn, prevent_cse=False, policy=policy)
     depth = jax.tree.leaves(stacked)[0].shape[0]
     y, _ = jax.lax.scan(fn, x, stacked, unroll=depth if unroll else 1)
-    return y
+    return (y, None) if final_norm is not None else y

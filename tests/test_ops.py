@@ -820,3 +820,62 @@ def test_int8_block_ln_chain_matches_float_stack():
     rel_u = float(jnp.mean(jnp.abs(got - unchained))
                   / jnp.mean(jnp.abs(unchained)))
     assert rel_u < 0.02, rel_u
+
+
+def test_int8_final_norm_head_chain_matches_standalone():
+    """The final LN + head-input quantize chained into the last block's MLP
+    epilogue (models/tae._blocks_then_head) must match the standalone
+    LN -> quantized-head path to int8 tolerance."""
+    from tae_tpu.nn.vit import (BlockConfig, _qlinear, block_init,
+                                int8_block_apply, layer_norm_apply,
+                                layer_norm_init)
+    from tae_tpu.ops.int8 import quantize_params, quantize_weight
+
+    cfg = BlockConfig(dim=128, num_heads=4)
+    p = block_init(jax.random.key(60), cfg)
+    pq = quantize_params(p)
+    fnorm = layer_norm_init(128)
+    fnorm = {"scale": fnorm["scale"] * 1.3 + 0.1, "bias": fnorm["bias"] + 0.2}
+    w_head = jax.random.normal(jax.random.key(61), (128, 16), jnp.float32)
+    wq, sw = quantize_weight(w_head)
+    x = jax.random.normal(jax.random.key(62), (2, 16, 128), jnp.float32)
+
+    x1, ln = int8_block_apply(pq, x, cfg, interpret=True,
+                              norm1_next=fnorm, chain=True)
+    assert ln is not None
+    xq, sx = ln
+    got = _qlinear({"w_q": wq, "w_scale": sw}, xq, x_scale=sx,
+                   out_dtype=jnp.float32, interpret=True)
+    got = got.reshape(2, 16, 16)
+
+    ref_in = layer_norm_apply(fnorm, x1, cfg.ln_eps)
+    ref = (ref_in.reshape(-1, 128) @ w_head).reshape(2, 16, 16)
+    rel = float(jnp.mean(jnp.abs(got - ref)) / jnp.mean(jnp.abs(ref)))
+    assert rel < 0.04, rel
+
+
+def test_plan_blocks_traffic_and_vmem():
+    """The r3 block planner: small m keeps the serve blocking, large m
+    scales bm up (weight re-streams shrink), and every plan respects the
+    calibrated VMEM model (the p64 patch-embed shape that OOM'd under the
+    naive model must not pick bm=1024)."""
+    from tae_tpu.ops.int8 import _block_k, _plan_blocks
+
+    # serve-latency regime: one m-block, r2c bn
+    assert _plan_blocks(8, 2560, 7680) == (32, 512, 2560)
+    # p16 qkv (m=32768): large bm, weight re-streams drop 128x -> 32x
+    bm, bn, bk = _plan_blocks(32768, 1024, 3072)
+    assert bm == 1024 and bk == 1024 and bn >= 512
+    # the shape that OOM'd on-chip under the naive model (16.36M vs 16M):
+    # bm=1024 with bk=3072/bn=512 must be rejected now
+    bm, bn, bk = _plan_blocks(2048, 12288, 2560)
+    assert bk == 3072
+    vm = 3 * bm * bk + 2 * bk * bn + 4 * bm * bn + 2 * 2 * bm * bn
+    assert vm <= 14 << 20, (bm, bn, bk, vm)
+    # plans always tile evenly
+    for m, k, n in ((32768, 1024, 1024), (2048, 2560, 7680),
+                    (1024, 2560, 2560), (40, 512, 4096)):
+        bm, bn, bk = _plan_blocks(m, k, n)
+        m_pad = -(-m // 32) * 32
+        assert m_pad % bm == 0 or bm == m_pad
+        assert n % bn == 0 and k % bk == 0
