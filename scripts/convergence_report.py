@@ -87,8 +87,12 @@ def main() -> None:
     args = p.parse_args()
 
     evals = parse_jsonl(args.run_log)
-    points = parse_stdout(args.stdout_log)
-    ref = parse_jsonl(REF_LOG)
+    points = parse_stdout(args.stdout_log) if Path(args.stdout_log).exists() \
+        else []
+    ref = parse_jsonl(REF_LOG) if Path(REF_LOG).exists() else []
+    if not evals and not points:
+        raise SystemExit(f"no train/eval rows yet in {args.run_log} / "
+                         f"{args.stdout_log} — run the training first")
     render_curve(points, evals, args.out_png)
 
     n_final = evals[-1]["iteration"] if evals else points[-1][0]
@@ -132,26 +136,29 @@ def main() -> None:
     for e in evals:
         lines.append(f"| {e['iteration']} | {e['train_loss']:.4f} | "
                      f"{e['eval_loss']:.4f} |")
-    lines += [
-        "",
-        "## Reference's published trajectory (ImageNet, for shape comparison)",
-        "",
-        "From `/root/reference/outputs/tae_patch16_vocab16_px256/"
-        "tae_patch16_vocab16_px256_log.txt` (750k iterations, batch 256):",
-        "",
-        "| iteration | train loss | eval MSE |",
-        "|---|---|---|",
-    ]
-    for e in ref[:4] + ref[-2:]:
-        lines.append(f"| {e['iteration']} | {e['train_loss']:.4f} | "
-                     f"{e['eval_loss']:.4f} |")
-    lines += [
-        "",
-        "Same signature in both: fast first-phase drop, then a long slow",
-        "grind with train loss tracking slightly below eval — and the same",
-        "instrumentation (identical JSONL keys, eval = mean of per-batch",
-        "means, reference `evaluate.py:84-102`).",
-    ]
+    if len(ref) >= 2:
+        lines += [
+            "",
+            "## Reference's published trajectory (ImageNet, for shape "
+            "comparison)",
+            "",
+            "From `/root/reference/outputs/tae_patch16_vocab16_px256/"
+            "tae_patch16_vocab16_px256_log.txt` (750k iterations, batch 256):",
+            "",
+            "| iteration | train loss | eval MSE |",
+            "|---|---|---|",
+        ]
+        for e in ref[:4] + ref[-2:]:
+            lines.append(f"| {e['iteration']} | {e['train_loss']:.4f} | "
+                         f"{e['eval_loss']:.4f} |")
+        lines += [
+            "",
+            "Same signature in both: fast first-phase drop, then a long slow",
+            "grind with train loss tracking slightly below eval — and the "
+            "same",
+            "instrumentation (identical JSONL keys, eval = mean of per-batch",
+            "means, reference `evaluate.py:84-102`).",
+        ]
 
     if args.quant_json and Path(args.quant_json).exists():
         q = json.loads(Path(args.quant_json).read_text())

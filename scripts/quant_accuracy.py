@@ -120,8 +120,8 @@ def main() -> None:
                               calib_images=calib),
     }
     wanted = [m.strip() for m in args.modes.split(",") if m.strip()]
-    if "bf16" not in wanted:
-        wanted.insert(0, "bf16")  # the comparison baseline always runs
+    # the bf16 baseline must run FIRST (it produces ref_latents + base MSE)
+    wanted = ["bf16"] + [m for m in wanted if m != "bf16"]
     modes = [(m, all_modes[m]) for m in wanted]
     overrides = json.loads(args.model_args) if args.model_args else {}
 

@@ -277,8 +277,9 @@ def main(args) -> dict:
 
         x = maybe_device_normalize(x, model.cfg.patch_size,
                                    policy.compute_dtype)
+        # serving=True: encode is pure inference (reference encode.py:76-91)
         return model.forward_encoder(p, x, policy=policy,
-                                     backend=args.attn_backend)
+                                     backend=args.attn_backend, serving=True)
 
     encode_fn = jax.jit(encode_step)
 

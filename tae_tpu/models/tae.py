@@ -116,7 +116,8 @@ class TAE:
     # --------------------------------------------------------------- forward
     def forward_encoder(self, params: Params, imgs: jnp.ndarray, *,
                         policy: Policy = DEFAULT, backend: str | None = None,
-                        remat: bool | str = False, unroll: bool = False) -> jnp.ndarray:
+                        remat: bool | str = False, unroll: bool = False,
+                        serving: bool = False) -> jnp.ndarray:
         """(B, C, H, W) -> latents (B, N, vocab_size). Reference tae.py:224-238.
 
         Also accepts pre-patchified (B, N, C·p²) input in extract_patches
@@ -143,12 +144,14 @@ class TAE:
         x = x + enc["pos_embed"]
         x = self._blocks_then_head(enc, x, c.enc_block, "dict_proj",
                                    backend=backend, remat=remat,
-                                   unroll=unroll, policy=policy)
+                                   unroll=unroll, policy=policy,
+                                   serving=serving)
         return policy.cast_to_output(x)
 
     def forward_decoder(self, params: Params, z: jnp.ndarray, *,
                         policy: Policy = DEFAULT, backend: str | None = None,
-                        remat: bool | str = False, unroll: bool = False) -> jnp.ndarray:
+                        remat: bool | str = False, unroll: bool = False,
+                        serving: bool = False) -> jnp.ndarray:
         """latents (B, N, vocab) -> per-patch pixel preds (B, N, p²·C).
         Reference tae.py:240-254."""
         c = self.cfg
@@ -158,11 +161,13 @@ class TAE:
         x = x + dec["pos_embed"]
         x = self._blocks_then_head(dec, x, c.dec_block, "pred",
                                    backend=backend, remat=remat,
-                                   unroll=unroll, policy=policy)
+                                   unroll=unroll, policy=policy,
+                                   serving=serving)
         return policy.cast_to_output(x)
 
     def _blocks_then_head(self, half: Params, x: jnp.ndarray, block_cfg,
-                          head: str, *, backend, remat, unroll, policy):
+                          head: str, *, backend, remat, unroll, policy,
+                          serving: bool = False):
         """Block stack -> final LN -> head linear; in the int8 serving
         layout (unstacked blocks + quantized head) the final LN + head-
         input quantize chain into the last block's MLP epilogue."""
@@ -171,7 +176,8 @@ class TAE:
                  and "w_q" in half.get(head, {}))
         out = vit.blocks_apply(half["blocks"], x, block_cfg, backend=backend,
                                remat=remat, unroll=unroll,
-                               final_norm=half["norm"] if chain else None)
+                               final_norm=half["norm"] if chain else None,
+                               serving=serving)
         if chain:
             x, ln = out
             if ln is not None:

@@ -190,7 +190,14 @@ def attention_init(key: jax.Array, cfg: AttentionConfig, dtype=jnp.float32) -> P
 
 
 def attention_apply(p: Params, x: jnp.ndarray, cfg: AttentionConfig,
-                    backend: str | None = None) -> jnp.ndarray:
+                    backend: str | None = None,
+                    serving: bool = False) -> jnp.ndarray:
+    """``serving=True`` (Tokenizer/encode inference contexts only) selects
+    the clamped constant-shift softmax kernels (+2% p16 bf16 encode, r2d).
+    The default keeps the exact max-subtract form so f(x) matches the
+    primal of value_and_grad(f)(x) for logits outside the clamp window —
+    anything that might be differentiated or evaluated for parity must NOT
+    set it."""
     from tae_tpu.ops.attention import default_backend
 
     b, n, c = x.shape
@@ -202,12 +209,9 @@ def attention_apply(p: Params, x: jnp.ndarray, cfg: AttentionConfig,
         if _attn_wide(n, int8_path=False) and not cfg.qk_norm:
             from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention_wide
 
-            # serving=False: this dispatch sits on the differentiable bf16
-            # path, so the forward must match the XLA-reference backward for
-            # arbitrary scores (not just inside the serving softmax clamps)
             return linear_apply(p["proj"],
                                 fused_qkv_attention_wide(qkv, h,
-                                                         serving=False))
+                                                         serving=serving))
         # measured on v5e: the fused kernel wins at N=256 (+24% end-to-end
         # encode) but XLA's folded-batch einsums win at N<=64 where
         # attention is a negligible FLOP fraction and per-head matmuls are
@@ -219,10 +223,7 @@ def attention_apply(p: Params, x: jnp.ndarray, cfg: AttentionConfig,
         # attention math itself at TAE shapes)
         from tae_tpu.ops.pallas.flash_attention import fused_qkv_attention
 
-        # serving=False: differentiable bf16 path — the primal must use the
-        # exact softmax so f(x) == primal of value_and_grad(f)(x) even for
-        # attention logits outside the serving softmax clamps
-        y = fused_qkv_attention(qkv, h, serving=False)
+        y = fused_qkv_attention(qkv, h, serving=serving)
     else:
         qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -276,7 +277,8 @@ def block_init(key: jax.Array, cfg: BlockConfig, dtype=jnp.float32) -> Params:
 
 
 def block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
-                backend: str | None = None) -> jnp.ndarray:
+                backend: str | None = None,
+                serving: bool = False) -> jnp.ndarray:
     """Pre-LN residual block (reference tae.py:128-131)."""
     fc1 = p["mlp"]["fc1"]
     if ("w_q" in fc1 or "w4" in fc1) and not cfg.qk_norm:
@@ -285,7 +287,7 @@ def block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
         if (backend or default_backend()) == "pallas":
             return int8_block_apply(p, x, cfg)
     x = x + attention_apply(p["attn"], layer_norm_apply(p["norm1"], x, cfg.ln_eps),
-                            cfg.attn, backend=backend)
+                            cfg.attn, backend=backend, serving=serving)
     x = x + mlp_apply(p["mlp"], layer_norm_apply(p["norm2"], x, cfg.ln_eps))
     return x
 
@@ -463,7 +465,8 @@ def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,
 
 def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
                  backend: str | None = None, remat: bool | str = False,
-                 unroll: bool = False, final_norm: Params | None = None):
+                 unroll: bool = False, final_norm: Params | None = None,
+                 serving: bool = False):
     """Apply a depth-stacked block stack with ``lax.scan``.
 
     ``stacked`` may instead be a list of per-layer param trees (the serving
@@ -493,7 +496,8 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
             fc1 = layer.get("mlp", {}).get("fc1", {}) \
                 if isinstance(layer, dict) else {}
             if not (pallas and "w_q" in fc1 and not cfg.qk_norm):
-                x = block_apply(layer, x, cfg, backend=backend)
+                x = block_apply(layer, x, cfg, backend=backend,
+                                serving=serving)
                 ln = None
                 continue
             nxt = stacked[i + 1] if i + 1 < len(stacked) else None
@@ -511,7 +515,8 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
             x, ln = int8_block_apply(layer, x, cfg, ln_in=ln,
                                      norm1_next=norm1_next, chain=True)
         return (x, ln) if final_norm is not None else x
-    fn = lambda carry, layer: (block_apply(layer, carry, cfg, backend=backend), None)
+    fn = lambda carry, layer: (block_apply(layer, carry, cfg, backend=backend,
+                                           serving=serving), None)
     if remat:
         policies = {
             "dots": jax.checkpoint_policies.checkpoint_dots,

@@ -194,7 +194,8 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     m = x2.shape[0]
     out_el = jnp.dtype(out_dtype or (x.dtype if x_scale is None
                                      else jnp.bfloat16)).itemsize
-    want_ln = ln_out is not None
+    requested_ln = ln_out is not None  # caller expects a 3-tuple iff set
+    want_ln = requested_ln
     if want_ln:
         plan = _ln_chain_plan(-(-m // 32) * 32, k, n,
                               jnp.dtype(out_dtype or jnp.bfloat16).itemsize,
@@ -245,7 +246,7 @@ def int8_linear(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     if pad:
         y = y[:m]
     res_out = y.reshape(*lead, n)
-    return (res_out, None, None) if ln_out is not None else res_out
+    return (res_out, None, None) if requested_ln else res_out
 
 
 def equalize_params(params: Params, alpha: float = 0.5,

@@ -138,11 +138,15 @@ class Tokenizer:
             from tae_tpu.data.transforms import maybe_device_normalize
 
             x = maybe_device_normalize(x, m.cfg.patch_size, pol.compute_dtype)
-            return m.forward_encoder(p, x, policy=pol)
+            # serving=True: Tokenizer is a pure-inference surface, so the
+            # clamped constant-shift softmax kernels are safe here (+2% p16
+            # bf16 encode, r2d); parity/training paths keep the exact form
+            return m.forward_encoder(p, x, policy=pol, serving=True)
 
         self._encode = jax.jit(enc)
         self._decode = jax.jit(
-            lambda p, z: m.unpatchify(m.forward_decoder(p, z, policy=pol)))
+            lambda p, z: m.unpatchify(m.forward_decoder(p, z, policy=pol,
+                                                        serving=True)))
 
     # ------------------------------------------------------------------ api
     def encode(self, images) -> jax.Array:

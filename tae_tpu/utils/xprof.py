@@ -57,7 +57,7 @@ def _load_xspace(log_dir: str):
 
 
 def top_ops(log_dir: str, device_substr: str = "TPU",
-            line_substr: str = "XLA Ops", limit: int = 25
+            line_substr: str = "XLA Ops", limit: int | None = 25
             ) -> list[dict[str, Any]]:
     """Aggregate per-op device time from a trace.
 
@@ -104,7 +104,9 @@ def top_op_groups(log_dir: str, device_substr: str = "TPU",
     missed the non-matmul residue this view was built to expose)."""
     import re
 
-    rows = top_ops(log_dir, device_substr, line_substr, limit=4096)
+    # limit=None: group over EVERY op instance — truncating first would
+    # both misstate shares and hide the long tail this view exists to show
+    rows = top_ops(log_dir, device_substr, line_substr, limit=None)
     sig_dur: collections.Counter = collections.Counter()
     sig_cnt: collections.Counter = collections.Counter()
     for r in rows:

@@ -854,6 +854,62 @@ def test_int8_final_norm_head_chain_matches_standalone():
     assert rel < 0.04, rel
 
 
+def test_serving_flag_threads_to_attention_kernels(monkeypatch):
+    """Tokenizer/encode inference passes serving=True down to the fused
+    attention kernels (the r2d clamped-softmax win); the default stays
+    serving=False so differentiable/parity paths keep the exact softmax."""
+    import tae_tpu.ops.pallas.flash_attention as fa
+    from tae_tpu.nn import vit
+
+    seen = []
+
+    def fake_fused(qkv, h, scale=None, serving=False, **kw):
+        seen.append(serving)
+        b, n, c3 = qkv.shape
+        return qkv[..., : c3 // 3]
+
+    monkeypatch.setattr(fa, "fused_qkv_attention", fake_fused)
+    cfg = vit.AttentionConfig(dim=64, num_heads=4)
+    p = vit.attention_init(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 256, 64), jnp.float32)
+    vit.attention_apply(p, x, cfg, backend="pallas", serving=True)
+    vit.attention_apply(p, x, cfg, backend="pallas")
+    assert seen == [True, False]
+
+
+def test_int8_block_chain_fallback_infeasible_plan(monkeypatch):
+    """When the LN-chain epilogue can't run — kill switch TAE_TPU_LN_CHAIN=0
+    or a VMEM-infeasible full-row plan (the d=2560 p64/p128 proj shape) —
+    the chained call must fall back to the standalone ln_quant path, NOT
+    crash on tuple arity (r3 regression: int8_linear returned a bare array
+    while the block caller unpacked three values)."""
+    from tae_tpu.nn.vit import BlockConfig, block_init, int8_block_apply
+    from tae_tpu.ops.int8 import quantize_params
+
+    cfg = BlockConfig(dim=128, num_heads=4)
+    layers = [block_init(jax.random.key(70 + i), cfg) for i in range(2)]
+    qlayers = [quantize_params(p) for p in layers]
+    x = jax.random.normal(jax.random.key(71), (2, 16, 128), jnp.float32)
+
+    unchained = x
+    for pq in qlayers:
+        unchained = int8_block_apply(pq, unchained, cfg, interpret=True)
+
+    for env, val in (("TAE_TPU_LN_CHAIN", "0"),
+                     ("TAE_TPU_I8_VMEM_BUDGET", "65536")):
+        monkeypatch.setenv(env, val)
+        got, ln = x, None
+        for i, pq in enumerate(qlayers):
+            n1n = qlayers[i + 1]["norm1"] if i + 1 < len(qlayers) else None
+            got, ln = int8_block_apply(pq, got, cfg, interpret=True,
+                                       ln_in=ln, norm1_next=n1n, chain=True)
+        assert ln is None
+        rel = float(jnp.mean(jnp.abs(got - unchained))
+                    / jnp.mean(jnp.abs(unchained)))
+        assert rel < 0.02, (env, rel)
+        monkeypatch.delenv(env)
+
+
 def test_plan_blocks_traffic_and_vmem():
     """The r3 block planner: small m keeps the serve blocking, large m
     scales bm up (weight re-streams shrink), and every plan respects the
