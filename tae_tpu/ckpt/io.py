@@ -68,6 +68,19 @@ def save_checkpoint(path: str | Path, tree: Any, *, step: int = 0,
     if jax.process_index() == 0 and tmp_path.exists():
         shutil.rmtree(tmp_path)  # partial leftover from an earlier crash
     _barrier("pre_save")
+    if jax.process_count() == 1:
+        # Fetch the tree to host FIRST, one whole leaf per transfer, and
+        # hand orbax host arrays (identical on-disk format). Orbax's own
+        # device path streams in small chunks — each a device round-trip —
+        # which collapses to ~3 KB/s on a high-latency tunneled TPU link
+        # (measured: a 380M-param TrainState save made 3.9 MB of progress
+        # in 20 min, while one big device_get runs at ~29 MB/s — RTT-bound
+        # vs bandwidth-bound). Harmless on local hardware (one extra host
+        # copy). Multi-host keeps orbax's coordinated sharded-save path.
+        import os
+
+        if os.environ.get("TAE_TPU_CKPT_HOST_FETCH", "1") != "0":
+            tree = jax.tree.map(np.asarray, tree)
     ckptr.save(tmp_path, tree)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:

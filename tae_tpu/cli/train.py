@@ -197,6 +197,17 @@ def main(args) -> None:
             print(f"Iteration {it}, evaluating ...")
             eval_loss = evaluate(eval_fn, state.params, args, mesh)
 
+            # JSONL row first: the eval trajectory is the run's primary
+            # artifact and must not sit behind a checkpoint save (minutes
+            # of D2H for a large TrainState on a tunneled link)
+            metric_logger.synchronize_between_processes()
+            log_stats = {**{f"train_{k}": m.global_avg
+                            for k, m in metric_logger.meters.items()},
+                         "eval_loss": float(eval_loss), "iteration": it}
+            if is_main_process():
+                append_jsonl(Path(args.output_dir) / f"{args.save_prefix}_log.txt",
+                             log_stats)
+
             if eval_loss < best_eval_loss:
                 print("Best eval loss improved! Saving checkpoint.")
                 save_checkpoint(
@@ -205,14 +216,6 @@ def main(args) -> None:
                     step=it, args=asdict_args(args),
                     extra={"best_eval_loss": float(eval_loss)})
                 best_eval_loss = eval_loss
-
-            metric_logger.synchronize_between_processes()
-            log_stats = {**{f"train_{k}": m.global_avg
-                            for k, m in metric_logger.meters.items()},
-                         "eval_loss": float(eval_loss), "iteration": it}
-            if is_main_process():
-                append_jsonl(Path(args.output_dir) / f"{args.save_prefix}_log.txt",
-                             log_stats)
 
             if args.display and display_samples is not None:
                 if display_samples.dtype == np.uint8:

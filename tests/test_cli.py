@@ -27,6 +27,45 @@ def data(tmp_path_factory):
     return d
 
 
+def test_train_cli_nonfinite_abort(data, tmp_path, monkeypatch, capsys):
+    """The non-finite-loss abort (reference train.py:152-155) still fires
+    with the windowed metric drain: a NaN at iteration 3 must exit(1)
+    within `window` iterations, before the it-5 eval/checkpoint."""
+    import jax.numpy as jnp
+
+    from tae_tpu.cli import train as cli_train
+
+    real_make = cli_train.make_train_step
+
+    def poisoned_make(*a, **kw):
+        step = real_make(*a, **kw)
+
+        def wrapped(state, batch, it):
+            state, metrics = step(state, batch, it)
+            bad = jnp.where(it == 3, jnp.float32(jnp.nan), metrics["loss"])
+            return state, {**metrics, "loss": bad}
+
+        return wrapped
+
+    monkeypatch.setattr(cli_train, "make_train_step", poisoned_make)
+    out = tmp_path / "out"
+    args = cli_train.get_args_parser().parse_args([
+        "--model", "tae_patch16_vocab16_px256", "--model_args", TINY_ARGS,
+        "--input_size", "64", "--batch_size_per_gpu", "8",
+        "--num_its", "12", "--save_freq", "5", "--num_workers", "0",
+        "--train_data_path", str(data / "train-{000000..000001}.tar"),
+        "--val_data_path", str(data / "val"),
+        "--output_dir", str(out), "--save_prefix", "abort",
+        "--log_freq", "2",
+    ])
+    out.mkdir(parents=True)
+    with pytest.raises(SystemExit) as exc:
+        cli_train.main(args)
+    assert exc.value.code == 1
+    assert "stopping training" in capsys.readouterr().out
+    assert not (out / "abort_checkpoint").exists()
+
+
 def test_train_cli_end_to_end(data, tmp_path):
     from tae_tpu.cli import train as cli_train
 
