@@ -10,7 +10,7 @@
 # this rig only /root/repo survives VM resets; with --resume_auto +
 # TAE_TPU_COMPILE_CACHE a reset costs one client init, not a 20-min
 # recompile + lost iterations.  Data fixture:
-#   PYTHONPATH=/root/repo python - <<'PY'
+#   cd /root/repo && python - <<'PY'
 #   from tae_tpu.data.fake import *
 #   for i in range(24):
 #       make_structured_wds_shard(f"/root/repo/.convergence/data/train-{i:06d}.tar",
@@ -22,7 +22,10 @@
 # larger num_its; --resume_auto continues from the last best checkpoint)
 set -x
 cd /root/repo
-export PYTHONPATH=/root/repo
+# NOTE: do NOT overwrite PYTHONPATH here — the default env points it at
+# /root/.axon_site, whose sitecustomize registers the axon TPU backend;
+# replacing it silently drops the chip. `python -m` from the repo cwd
+# already puts the package on sys.path.
 export TAE_TPU_COMPILE_CACHE=/root/repo/.xla_cache
 exec python -m tae_tpu.cli.train \
   --model tae_patch16_vocab16_px256 \
