@@ -8,8 +8,8 @@ tae_patch16_vocab16_px256 log points (reference outputs/..._log.txt) for
 side-by-side inspection. Pure host-side: safe to run while the chip is busy.
 
     python scripts/convergence_report.py \
-        --run_log /root/convergence_out/conv_log.txt \
-        --stdout_log /tmp/convergence.log \
+        --run_log /root/repo/.convergence/out/conv_log.txt \
+        --stdout_log /root/repo/.convergence/run.log \
         --quant_json /tmp/quant_accuracy.json   # optional, from quant_accuracy.py
 """
 
@@ -79,8 +79,8 @@ def render_curve(points, evals, out_png: str) -> None:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--run_log", default="/root/convergence_out/conv_log.txt")
-    p.add_argument("--stdout_log", default="/tmp/convergence.log")
+    p.add_argument("--run_log", default="/root/repo/.convergence/out/conv_log.txt")
+    p.add_argument("--stdout_log", default="/root/repo/.convergence/run.log")
     p.add_argument("--quant_json", default="")
     p.add_argument("--out_md", default="docs/CONVERGENCE.md")
     p.add_argument("--out_png", default="docs/convergence_curve.png")

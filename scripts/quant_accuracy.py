@@ -18,8 +18,8 @@ relay (CLAUDE.md).
 
     python scripts/quant_accuracy.py \
         --model tae_patch16_vocab16_px256 \
-        --ckpt /root/convergence_out/conv_checkpoint \
-        --val_data_path /root/convergence_data/val
+        --ckpt /root/repo/.convergence/out/conv_checkpoint \
+        --val_data_path /root/repo/.convergence/data/val
 
 Prints one markdown table (for docs/KERNELS.md) and one JSON line.
 """
@@ -40,8 +40,8 @@ from tae_tpu.tokenizer import Tokenizer
 def get_args_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser("quantization accuracy on trained weights")
     p.add_argument("--model", default="tae_patch16_vocab16_px256")
-    p.add_argument("--ckpt", default="/root/convergence_out/conv_checkpoint")
-    p.add_argument("--val_data_path", default="/root/convergence_data/val")
+    p.add_argument("--ckpt", default="/root/repo/.convergence/out/conv_checkpoint")
+    p.add_argument("--val_data_path", default="/root/repo/.convergence/data/val")
     p.add_argument("--input_size", default=256, type=int)
     p.add_argument("--batch_size", default=64, type=int)
     p.add_argument("--num_batches", default=4, type=int,
