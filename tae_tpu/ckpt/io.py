@@ -128,6 +128,48 @@ def load_checkpoint(path: str | Path, target: Any = None) -> tuple[Any, dict]:
     return tree, meta
 
 
+def promote_checkpoint(src: str | Path, dst: str | Path) -> None:
+    """Copy checkpoint dir ``src`` over ``dst`` by LOCAL disk copy + atomic
+    swap — no device fetch. Lets a driver save the TrainState once (the
+    "latest" preemption checkpoint) and promote it to the best-eval path on
+    improvement instead of paying a second device->host transfer, which
+    costs minutes for a large TrainState on a tunneled TPU link (see
+    save_checkpoint). Same crash policy as save_checkpoint: a preemption at
+    any point leaves ``dst`` restorable (new, old, or previous tree).
+    Filesystem mutation on process 0 only, with a trailing barrier."""
+    import shutil
+
+    src, dst = Path(src).absolute(), Path(dst).absolute()
+    if jax.process_index() == 0:
+        new_path = dst.parent / (dst.name + ".new")
+        old_path = dst.parent / (dst.name + ".promote_old")
+        for p in (new_path, old_path):
+            if p.exists():
+                shutil.rmtree(p)
+        shutil.copytree(src, new_path)
+        if dst.exists():
+            dst.rename(old_path)
+        new_path.rename(dst)
+        if old_path.exists():
+            shutil.rmtree(old_path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("tae_tpu_ckpt_promote")
+
+
+def checkpoint_step(path: str | Path) -> int | None:
+    """The saved iteration of a checkpoint dir, or None if absent/invalid.
+    Used by --resume_auto to pick the newest of the best/latest pair."""
+    meta_path = Path(path) / _META
+    if not meta_path.exists():
+        return None
+    try:
+        return int(json.loads(meta_path.read_text()).get("step", 0))
+    except (ValueError, OSError, json.JSONDecodeError):
+        return None
+
+
 def _is_torch_checkpoint(path: Path) -> bool:
     return path.is_file() and path.suffix in (".pth", ".pt", ".bin")
 

@@ -99,16 +99,25 @@ def main(args) -> None:
     start_it = 0
     best_eval_loss = 100.0
     ckpt_dir = Path(args.output_dir) / f"{args.save_prefix}_checkpoint"
-    if args.resume_auto and (ckpt_dir / "meta.json").exists():
-        from tae_tpu.ckpt.io import load_train_state
+    # "latest" is saved every save_freq regardless of eval (preemption
+    # safety); ckpt_dir keeps the reference's best-eval contract
+    # (train.py:164-172) via a local-disk promote, so a plateaued run
+    # resumes from its newest state, not its last improvement.
+    latest_dir = Path(args.output_dir) / f"{args.save_prefix}_checkpoint_latest"
+    if args.resume_auto:
+        from tae_tpu.ckpt.io import checkpoint_step, load_train_state
 
-        params, opt_state, meta = load_train_state(ckpt_dir, model, params,
-                                                   state.opt)
-        state = TrainState(params=params, opt=opt_state or state.opt)
-        start_it = int(meta.get("step", 0)) + 1
-        best_eval_loss = float(meta.get("best_eval_loss", best_eval_loss))
-        print(f"Auto-resumed {ckpt_dir} at iteration {start_it} "
-              f"(best eval loss {best_eval_loss})")
+        resume_from = max((d for d in (ckpt_dir, latest_dir)
+                           if checkpoint_step(d) is not None),
+                          key=checkpoint_step, default=None)
+        if resume_from is not None:
+            params, opt_state, meta = load_train_state(resume_from, model,
+                                                       params, state.opt)
+            state = TrainState(params=params, opt=opt_state or state.opt)
+            start_it = int(meta.get("step", 0)) + 1
+            best_eval_loss = float(meta.get("best_eval_loss", best_eval_loss))
+            print(f"Auto-resumed {resume_from} at iteration {start_it} "
+                  f"(best eval loss {best_eval_loss})")
 
     from tae_tpu.data.transforms import maybe_device_normalize
 
@@ -208,14 +217,19 @@ def main(args) -> None:
                 append_jsonl(Path(args.output_dir) / f"{args.save_prefix}_log.txt",
                              log_stats)
 
-            if eval_loss < best_eval_loss:
+            improved = eval_loss < best_eval_loss
+            best_eval_loss = min(best_eval_loss, float(eval_loss))
+            save_checkpoint(
+                latest_dir,
+                {"params": state.params, "opt": state.opt._asdict()},
+                step=it, args=asdict_args(args),
+                extra={"best_eval_loss": best_eval_loss,
+                       "eval_loss": float(eval_loss)})
+            if improved:
                 print("Best eval loss improved! Saving checkpoint.")
-                save_checkpoint(
-                    Path(args.output_dir) / f"{args.save_prefix}_checkpoint",
-                    {"params": state.params, "opt": state.opt._asdict()},
-                    step=it, args=asdict_args(args),
-                    extra={"best_eval_loss": float(eval_loss)})
-                best_eval_loss = eval_loss
+                from tae_tpu.ckpt.io import promote_checkpoint
+
+                promote_checkpoint(latest_dir, ckpt_dir)
 
             if args.display and display_samples is not None:
                 if display_samples.dtype == np.uint8:
