@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tae_tpu_xla_cache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:
     pass
