@@ -18,7 +18,7 @@
 #   make_structured_imagefolder("/root/repo/.convergence/data/val",
 #                               num_images=512, size=288, seed=10_000)
 #   PY
-# Usage: convergence_run.sh [num_its]   (chunk by calling again with a
+# Usage: convergence_run.sh [num_its] [save_freq]   (chunk by calling again with a
 # larger num_its; --resume_auto continues from the last best checkpoint)
 set -x
 cd /root/repo
@@ -35,6 +35,6 @@ exec python -m tae_tpu.cli.train \
   --save_prefix conv \
   --batch_size_per_gpu 64 --accum_iter 4 \
   --max_lr 1e-4 --min_lr 1e-5 --weight_decay 0.0 \
-  --num_its "${1:-5001}" --save_freq 500 --log_freq 50 \
+  --num_its "${1:-5001}" --save_freq "${2:-500}" --log_freq 50 \
   --num_workers 1 --device_normalize --remat --display \
   --resume_auto
