@@ -52,6 +52,24 @@ def int8_linear_xla(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
     return y.astype(orig_dtype)
 
 
+def vmem_limit() -> int:
+    """Per-kernel Mosaic scoped-VMEM limit (bytes) — every int8/int4 kernel
+    passes this as ``CompilerParams.vmem_limit_bytes``. Mosaic's default is
+    a conservative 16M, but the v5e physically has far more: 32M-, 48M- and
+    128M-footprint kernels all compile AND run correctly (measured on-chip,
+    r3), and the extra room buys larger blockings — fewer weight restreams
+    and accumulator passes (standalone p16 MLP bh 2048 measured 1.617 vs
+    1.746 ms at bh 1024). Default 32M: 128M-scale blocks pipeline WORSE
+    (2.095 ms — DMA/compute overlap dies), and 32M leaves headroom for
+    XLA's own VMEM use around the kernel. ``TAE_TPU_I8_VMEM_LIMIT``
+    overrides. Raising the limit also retires the r2/r3 class of
+    graph-dependent scoped-OOMs at the 16M boundary (Mosaic's true
+    footprint runs ~4% over the analytic model in some graphs)."""
+    import os
+
+    return int(os.environ.get("TAE_TPU_I8_VMEM_LIMIT") or (32 << 20))
+
+
 def _block(dim: int, cap: int) -> int:
     """Largest lane-valid block <= cap that divides dim: Mosaic requires the
     last block dim to be a multiple of 128 or equal to the full array dim
@@ -96,17 +114,30 @@ def _plan_blocks(m: int, k: int, n: int, out_bytes: int = 2,
     env_bm, env_bn = (os.environ.get("TAE_TPU_I8_BM"),
                       os.environ.get("TAE_TPU_I8_BN"))
     if budget is None:
-        budget = int(os.environ.get("TAE_TPU_I8_VMEM_BUDGET", 14 << 20))
+        # 7/8 of the kernel vmem limit: the empirical footprint model ran
+        # ~2-4% under Mosaic's real allocation in observed graphs, so keep
+        # a proportional margin (14M at the historical 16M limit — the
+        # setting every r3 plan was validated under — 28M at today's 32M)
+        budget = int(os.environ.get("TAE_TPU_I8_VMEM_BUDGET",
+                                    vmem_limit() * 7 // 8))
     m_pad = -(-m // 32) * 32
     if m_pad <= 256 and not (env_bm or env_bn):
         # small-batch serving latency regime: weight-DMA-bound, one m-block
         # either way; keep the r2c-measured blocking (bn 768 measured -11%
         # on serve_p64_int8_b8)
         return m_pad, _block(n, 512), bk
+    if m_pad <= 1024:
+        # small-M encode regime: the 28M-budget plans the 32M vmem limit
+        # enables measured -7.5% on p128 b256 (m=1024) while the same
+        # budget gained +4-6% at m>=2048 — with few m-blocks the bigger
+        # tiles starve grid-level DMA/compute overlap that the traffic
+        # model doesn't see. Keep the r3-validated 14M budget here.
+        budget = min(budget, 14 << 20)
     best = None
-    for bm_c in ((int(env_bm),) if env_bm else (1024, 512, 256)):
+    for bm_c in ((int(env_bm),) if env_bm else (2048, 1024, 512, 256)):
         bm = min(bm_c, m_pad)
-        for bn_cap in ((int(env_bn),) if env_bn else (1024, 768, 512, 256)):
+        for bn_cap in ((int(env_bn),) if env_bn
+                       else (2048, 1536, 1024, 768, 512, 256)):
             bn = _block(n, bn_cap)
             # empirical Mosaic footprint model, calibrated against observed
             # compile pass/fails on v5e: ~3x the x block (double-buffer +
@@ -138,9 +169,15 @@ def _ln_chain_plan(m_pad: int, k: int, n: int, out_el: int,
 
     if os.environ.get("TAE_TPU_LN_CHAIN") == "0":
         return None  # kill-switch for the chained epilogues
-    budget = int(os.environ.get("TAE_TPU_I8_VMEM_BUDGET", 14 << 20))
+    budget = int(os.environ.get("TAE_TPU_I8_VMEM_BUDGET",
+                                vmem_limit() * 7 // 8))
     bk = _block_k(k)
-    for bm_c in (512, 384, 256, 128, 64, 32):
+    # Pad-free bm first: a bm that does not divide m forces a full (M, n)
+    # pad + slice materialization around the kernel — measured ~6% of p32
+    # int8 encode when the proj chain picked bm 768 against m 8192.
+    cands = (1024, 768, 512, 384, 256, 128, 64, 32)
+    for bm_c in ([c for c in cands if m_pad % c == 0]
+                 + [c for c in cands if m_pad % c != 0]):
         bm = min(bm_c, m_pad)
         vm = (3 * bm * bk + 2 * bk * n + 4 * bm * n + 2 * out_el * bm * n
               + (2 * bm * n * 2 if has_res else 0)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tae_tpu.ops.int8 import vmem_limit as _vmem_limit
+
 from tae_tpu.ops.int8 import _block as _lane_block
 
 
@@ -171,7 +173,8 @@ def int4_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((mp, d), out_dtype),
         scratch_shapes=[pltpu.VMEM((bm, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(xq, sx, w1_4, w1_scale.reshape(n_groups1, 1, hdim),
       b1.reshape(1, hdim), w2_4,

@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tae_tpu.ops.int8 import vmem_limit as _vmem_limit
+
 
 def _unpack(u32):
     lo = ((u32 & 0xF) ^ 8) - 8
@@ -143,7 +145,8 @@ def int4_matmul_fused(x: jnp.ndarray, w4: jnp.ndarray, w_scale: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(xq, xq, w4,
       w_scale[:n_k].reshape(n_k, 1, n), w_scale[n_k:].reshape(n_k, 1, n),

@@ -174,18 +174,19 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
     stream disappears. Falls back to ``(y, None, None)`` when the extra
     VMEM doesn't fit — callers must handle the standalone path then.
     """
+    from tae_tpu.ops.int8 import vmem_limit
+
     m, d = xq.shape
     hdim = w1_q.shape[1]
     # measured on v5e (batch-128 encode): bm 256 > 128 (+4% p64) since weight
     # blocks re-stream once per M block; bigger bh halves accumulator-update
-    # passes — but the kernel's VMEM footprint must stay under Mosaic's 16M
-    # scoped limit, and the boundary is graph-dependent (d=2560 with bh 1024
-    # compiled inside fori_loop benches yet overflowed by ~1M in the plain
-    # encode-CLI jit AND in unstacked graphs). The analytic footprint below
-    # reproduces every observed pass/fail with a 16M budget, and at d=2560
-    # the halved bh is within 0.6% of bh 1024 anyway (4864 vs 4893 p64) —
-    # while at M<=1024 it is outright faster (p128 14.3k vs 11.6k).
-    # Small-d models fit bm 512.
+    # passes. The kernel's VMEM footprint must stay under the Mosaic scoped
+    # limit — historically 16M (with a graph-dependent ±4% boundary that
+    # produced scoped-OOMs on borderline estimates), now raised to
+    # vmem_limit() (32M default; the v5e physically has the room — see that
+    # docstring). At the old 16M: d=2560 ran bh 512 (within 0.6% of 1024),
+    # small-d fit bm 512 / bh 1024. With 32M the auto-pick reaches bh 2048
+    # at d<=1024 (standalone -7%) and bh 1024+chain at d=2560.
     if block_m is None:
         block_m = int(os.environ.get("TAE_TPU_INT8_MLP_BM",
                                      "512" if d <= 1024 else "256"))
@@ -193,29 +194,65 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
     if block_h is None and env_bh:
         block_h = int(env_bh)
     elif block_h is None:
-        block_h = 1024
+        block_h = 2048
         bm_est = min(block_m, m)
         vmem = lambda bh: (14 * bm_est * d + 4 * d * bh  # noqa: E731
                            + 1024 * bm_est + 128 * (bh + d))
-        # p32's bh-1024 estimate sits 2% under this budget: it compiles in
-        # every measured graph EXCEPT with the q8-attention scratch added
-        # (which the N<=16 dispatch keeps out of p32 anyway) and is worth
-        # 2275 vs 2099 img/s — so the budget stays at the 16M limit
-        while block_h > 128 and vmem(block_h) > 16 * 1024 * 1024:
+        # proportional margin: the analytic model ran ~2-4% under Mosaic's
+        # real allocation in observed graphs
+        while block_h > 128 and vmem(block_h) > vmem_limit() * 7 // 8:
             block_h //= 2
-    bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
+        # Small-M regime: few m-blocks -> few grid programs, and a big bh
+        # starves the pipeline's DMA/compute overlap (measured, d=2560:
+        # p128 m=1024 runs 14.3k img/s at bh 512 / 80 programs vs 11.6k at
+        # bh 1024 / 40; serve-b8 m=128 runs 2901 at bh 1024 / 10 programs
+        # vs 2742 at bh 2048 / 5 — while p64 m=2048 prefers bh 1024 at 80
+        # programs, +3.8%). Halve bh (floor 512) until the grid reaches 64
+        # programs; the VMEM-budget loop above already bounded it.
+        mb = -(-m // min(block_m, -(-m // 32) * 32))
+        while block_h > 512 and mb * hdim // block_h < 64:
+            block_h //= 2
     bh = _lane_block(hdim, block_h)
     want_ln = ln_next is not None
     if ln_next is not None:
-        # chained epilogue adds an s8 (bm, d) + (bm, 1) output pair plus LN
-        # temporaries; re-check the same analytic budget with that overhead
-        # and fall back (caller runs standalone ln_quant) when it busts
-        bm_est = min(block_m, m)
-        extra = 8 * bm_est * d + 2 * 128 * d
-        if (14 * bm_est * d + 4 * d * bh + 1024 * bm_est
-                + 128 * (bh + d) + extra) > 16 * 1024 * 1024 \
-                and not os.environ.get("TAE_TPU_INT8_MLP_LN_FORCE"):
+        # The chained epilogue adds an s8 (bm, d) + (bm, 1) output pair plus
+        # LN temporaries. Never accept estimates right AT the scoped limit:
+        # the boundary is graph-dependent — at the historical 16M limit the
+        # p16 bm-512 chained estimate landed on exactly 16.00M and compiled
+        # in the bench/encode graphs, yet Mosaic allocated 17.43M for the
+        # same kernel spec inside a batch-64 serving graph with a float
+        # pred head (caught by a real-TPU drive; the Mosaic footprint
+        # varies ~4% with surrounding layout constraints). So: accept only
+        # under a margined budget, and when the default bm busts it try
+        # smaller m-blocks — but only while the chained kernel's estimated
+        # weight traffic (fc1+fc2 restream once per m-block) still beats
+        # the unchained kernel plus the standalone ln_quant pass it
+        # replaces (read (M, D) bf16 + write s8 + scales ~ 3 bytes/elem);
+        # otherwise fall back (caller runs ln_quant).
+        budget = int(os.environ.get("TAE_TPU_INT8_MLP_LN_BUDGET",
+                                    vmem_limit() * 7 // 8))
+        m_pad0 = -(-m // 32) * 32
+        w_bytes = 2 * d * hdim  # fc1 + fc2, int8
+        alt = (-(-m_pad0 // min(block_m, m_pad0)) * w_bytes
+               + 3 * m_pad0 * d)
+        chosen = None
+        cands = [min(c, m_pad0) for c in (block_m, 448, 384, 320, 256)]
+        # pad-free candidates first (a non-dividing bm materializes a full
+        # (M, D) pad + slice pair around the kernel; see _ln_chain_plan)
+        for bm_c in ([c for c in cands if m_pad0 % c == 0]
+                     + [c for c in cands if m_pad0 % c != 0]):
+            if -(-m_pad0 // bm_c) * w_bytes > alt:
+                break  # smaller blocks only restream more; fall back
+            est = (14 * bm_c * d + 4 * d * bh + 1024 * bm_c
+                   + 128 * (bh + d) + 8 * bm_c * d + 2 * 128 * d)
+            if est <= budget or os.environ.get("TAE_TPU_INT8_MLP_LN_FORCE"):
+                chosen = bm_c
+                break
+        if chosen is None:
             ln_next = None
+        else:
+            block_m = chosen
+    bm = min(block_m, -(-m // 32) * 32)  # int8 sublane tile is 32
     pad = (-m) % bm
     if pad:
         xq = jnp.pad(xq, ((0, pad), (0, 0)))
@@ -267,7 +304,8 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
         out_shape=out_shape if ln_next is not None else out_shape[0],
         scratch_shapes=[pltpu.VMEM((bm, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=vmem_limit()),
         interpret=interpret,
     )(*operands)
     if ln_next is not None:

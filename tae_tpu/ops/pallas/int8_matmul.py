@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tae_tpu.ops.int8 import vmem_limit as _vmem_limit
+
 
 def _kernel(x_ref, w_ref, sx_ref, sw_ref, b_ref, res_ref, o_ref, acc_ref, *,
             n_k: int, has_bias: bool, has_residual: bool,
@@ -187,7 +189,8 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
             out_shape=out_shape,
             scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary")),
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+                vmem_limit_bytes=_vmem_limit()),
             interpret=interpret,
         )(x, w_q, sx, w_scale.reshape(1, n).astype(jnp.float32),
           b_arg.astype(jnp.float32), res_arg,
@@ -237,7 +240,8 @@ def int8_matmul_fused(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(x, w_q, sx, w_scale.reshape(1, n).astype(jnp.float32),
       b_arg.astype(jnp.float32), res_arg)
