@@ -175,6 +175,31 @@ def main() -> None:
         for name, r in q["results"].items():
             lines.append(f"| {name} | {r['rel_err']:.3g} | {r['mse']:.5f} "
                          f"| {r['mse_delta_pct']:+.2f}% |")
+        lines += [
+            "",
+            "Two findings, both against the random-init expectation",
+            "(docs/KERNELS.md: int8 3e-2 vs int4 1.6e-1 rel err there):",
+            "",
+            "1. **Weight precision stops mattering on trained weights** —",
+            "   int4 and int8 land within 0.3% of each other on every",
+            "   metric. The shared per-row int8 *activation* path (a8)",
+            "   dominates the serving error once weights are trained",
+            "   (smoother than random init), so the int4 weight code is",
+            "   effectively free accuracy-wise here.",
+            "2. **The bottleneck linears are not the culprit**: an on-chip",
+            "   skip-set ablation (quantize_params skip=dict_proj /",
+            "   +decoder_embed / +pred) moved latent rel err by < 0.2%",
+            "   relative (0.0674 -> 0.0673), so keeping the tiny",
+            "   bottleneck projections in bf16 buys nothing — the error",
+            "   accumulates across the per-block a8 quantizers.",
+            "",
+            "Context for the MSE deltas: bf16 eval MSE on this synthetic",
+            "corpus is ~8x lower than the reference's ImageNet regime, so",
+            "the same absolute quantization noise (~0.006 MSE) reads as a",
+            "large percentage here; against the reference's 0.047-0.06",
+            "eval-MSE scale it would be ~+10-13%. Measure on the real",
+            "deployment distribution before choosing a serving mode.",
+        ]
 
     Path(args.out_md).write_text("\n".join(lines) + "\n")
     print(f"wrote {args.out_md} ({len(evals)} eval points, "
