@@ -363,12 +363,14 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     # int8-output attention pays an amax+quantize epilogue to delete the
     # XLA convert+quantize passes before proj. Measured: wins at tiny N
     # (p64 4991->5117, p128 ~+2%) where the wide kernel's f32 scratch is
-    # small, and — after the r3 traffic-planned matmul blocking — at N>=128
-    # too (p16 2317->2363; under the r2 blocking it lost there). N=64 (p32)
-    # keeps bf16 output: the q8 scratch's VMEM pressure costs p32 its
-    # bh-1024 MLP blocking. TAE_TPU_PACKED_ATTN_Q8=0/1 forces.
+    # small. At N>=128 it has flipped with every blocking generation (r2
+    # blocking: -2%; r3 14M planned blocking: +2%; r3 32M-limit blocking:
+    # p16 2510 -> 2609 WITHOUT it) — under the bigger proj tiles the
+    # in-kernel quantize is free while the per-batch attention kernel's
+    # quantize epilogue is not, so large N stays bf16-out. N=64 (p32)
+    # keeps bf16 output too. TAE_TPU_PACKED_ATTN_Q8=0/1 forces.
     env_q8 = os.environ.get("TAE_TPU_PACKED_ATTN_Q8", "")
-    use_q8 = env_q8 != "0" if env_q8 else (n <= 16 or n >= 128)
+    use_q8 = env_q8 != "0" if env_q8 else n <= 16
     if not interpret and n >= _fused_attn_minn():
         # same measured dispatch rule as attention_apply
         from tae_tpu.ops.pallas.flash_attention import (fused_qkv_attention,
