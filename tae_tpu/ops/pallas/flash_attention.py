@@ -29,6 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tae_tpu.ops.int8 import vmem_limit as _vmem_limit
+
 _BATCHED = (((2,), (2,)), ((0,), (0,)))  # contract dh, batch over heads
 
 
@@ -104,6 +106,8 @@ def _fwd_call(q, k, v, scale: float, with_lse: bool, interpret: bool):
         in_specs=[_qkv_spec(h, n, dh)] * 3,
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(q, k, v)
     return res if with_lse else (res[0], None)
@@ -130,6 +134,8 @@ def _flash_bwd(scale: float, interpret: bool, residuals, do):
         + [_qkv_spec(h, n, dh)],
         out_specs=[_qkv_spec(h, n, dh)] * 3,
         out_shape=[jax.ShapeDtypeStruct((b, h, n, dh), q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(q, k, v, o, lse, do)
     return dq, dk, dv
@@ -372,6 +378,8 @@ def fused_qkv_attention_i8(qkv_q, scales, num_heads: int,
         out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(qkv_q, scales.reshape(n_nb, b * n, 1))
 
@@ -425,6 +433,8 @@ def fused_qkv_attention_q8(qkv, num_heads: int, scale: float | None = None,
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((b, n, c), jnp.int8),
                    jax.ShapeDtypeStruct((b, n, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(qkv)
 
@@ -494,6 +504,8 @@ def fused_qkv_attention_wide_q8(qkv, num_heads: int,
         out_shape=[jax.ShapeDtypeStruct((b, n, c), jnp.int8),
                    jax.ShapeDtypeStruct((b, n, 1), jnp.float32)],
         scratch_shapes=[pltpu.VMEM((block_b, n, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(qkv)
 
@@ -643,6 +655,8 @@ def _packed_fwd_call(qkv, h: int, scale: float, with_lse: bool,
         in_specs=[_packed_spec(n, c3)],
         out_specs=out_specs,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(qkv)
     return res if with_lse else (res[0], None)
@@ -689,6 +703,8 @@ def fused_qkv_attention_wide(qkv, num_heads: int, scale: float | None = None,
         in_specs=[spec3],
         out_specs=speco,
         out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(qkv)
 
@@ -765,6 +781,8 @@ def _packed_vjp_bwd(num_heads, scale, interpret, serving, residuals, do):
                   _lse_spec3(num_heads, n), _packed_spec(n, c3 // 3)],
         out_specs=[_packed_spec(n, c3)],
         out_shape=[jax.ShapeDtypeStruct((b, n, c3), qkv.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
         interpret=interpret,
     )(qkv, o, lse, do)[0]
     return (dqkv,)
