@@ -56,6 +56,7 @@ K_LONG_HEADLINE = 48
 ENCODE_CONFIGS = [
     ("encode_p16_bf16_b128", "tae_patch16_vocab256_px256", 128, False, True),
     ("encode_p16_int8_b128", "tae_patch16_vocab256_px256", 128, True, True),
+    ("encode_p32_int8_b128", "tae_patch32_vocab1024_px256", 128, True, True),
     ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, False, False),
     ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True, True),
     ("encode_p128_bf16_b1024", "tae_patch128_vocab4096_px256", 1024, False, True),

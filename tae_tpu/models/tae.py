@@ -116,7 +116,7 @@ class TAE:
     # --------------------------------------------------------------- forward
     def forward_encoder(self, params: Params, imgs: jnp.ndarray, *,
                         policy: Policy = DEFAULT, backend: str | None = None,
-                        remat: bool | str = False, unroll: bool = False,
+                        remat: bool | str = False, unroll: bool | int = False,
                         serving: bool = False) -> jnp.ndarray:
         """(B, C, H, W) -> latents (B, N, vocab_size). Reference tae.py:224-238.
 
@@ -150,7 +150,7 @@ class TAE:
 
     def forward_decoder(self, params: Params, z: jnp.ndarray, *,
                         policy: Policy = DEFAULT, backend: str | None = None,
-                        remat: bool | str = False, unroll: bool = False,
+                        remat: bool | str = False, unroll: bool | int = False,
                         serving: bool = False) -> jnp.ndarray:
         """latents (B, N, vocab) -> per-patch pixel preds (B, N, p²·C).
         Reference tae.py:240-254."""
@@ -201,7 +201,8 @@ class TAE:
 
     def forward(self, params: Params, imgs: jnp.ndarray, *,
                 policy: Policy = DEFAULT, backend: str | None = None,
-                remat: bool | str = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                remat: bool | str = False,
+                unroll: bool | int = False) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Full autoencode: returns (loss, pred). Reference tae.py:267-271.
 
         With ``quantize=True`` the latent passes through the VQ bottleneck and
@@ -209,7 +210,7 @@ class TAE:
         reference's continuous bottleneck, untouched.
         """
         z = self.forward_encoder(params, imgs, policy=policy, backend=backend,
-                                 remat=remat)
+                                 remat=remat, unroll=unroll)
         aux_loss = 0.0
         if self.cfg.quantize:
             from tae_tpu.ops.quantizer import vq_ste
@@ -217,7 +218,7 @@ class TAE:
             z, aux_loss = vq_ste(z, params["codebook"],
                                  beta=self.cfg.commitment_beta)
         pred = self.forward_decoder(params, z, policy=policy, backend=backend,
-                                    remat=remat)
+                                    remat=remat, unroll=unroll)
         loss = self.forward_loss(imgs, pred) + aux_loss
         return loss, pred
 

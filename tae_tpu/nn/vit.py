@@ -363,14 +363,16 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
     # int8-output attention pays an amax+quantize epilogue to delete the
     # XLA convert+quantize passes before proj. Measured: wins at tiny N
     # (p64 4991->5117, p128 ~+2%) where the wide kernel's f32 scratch is
-    # small. At N>=128 it has flipped with every blocking generation (r2
-    # blocking: -2%; r3 14M planned blocking: +2%; r3 32M-limit blocking:
-    # p16 2510 -> 2609 WITHOUT it) — under the bigger proj tiles the
-    # in-kernel quantize is free while the per-batch attention kernel's
-    # quantize epilogue is not, so large N stays bf16-out. N=64 (p32)
-    # keeps bf16 output too. TAE_TPU_PACKED_ATTN_Q8=0/1 forces.
+    # small, and — since the 32M vmem limit stopped the q8 scratch from
+    # costing p32 its MLP blocking — at N=64 too (p32 2623 -> 2646, K=48
+    # stabilized timing; under the 16M limit it lost 8% there). At N>=128
+    # it has flipped with every blocking generation (r2 blocking: -2%; r3
+    # 14M planned blocking: +2%; r3 32M-limit blocking: p16 2510 -> 2609
+    # WITHOUT it) — under the bigger proj tiles the in-kernel quantize is
+    # free while the per-batch attention kernel's quantize epilogue is
+    # not, so large N stays bf16-out. TAE_TPU_PACKED_ATTN_Q8=0/1 forces.
     env_q8 = os.environ.get("TAE_TPU_PACKED_ATTN_Q8", "")
-    use_q8 = env_q8 != "0" if env_q8 else n <= 16
+    use_q8 = env_q8 != "0" if env_q8 else n <= 64
     if not interpret and n >= _fused_attn_minn():
         # same measured dispatch rule as attention_apply
         from tae_tpu.ops.pallas.flash_attention import (fused_qkv_attention,
@@ -467,7 +469,7 @@ def blocks_init(key: jax.Array, cfg: BlockConfig, depth: int,
 
 def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
                  backend: str | None = None, remat: bool | str = False,
-                 unroll: bool = False, final_norm: Params | None = None,
+                 unroll: bool | int = False, final_norm: Params | None = None,
                  serving: bool = False):
     """Apply a depth-stacked block stack with ``lax.scan``.
 
@@ -487,7 +489,11 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
     ``unroll=True`` fully unrolls the layer loop (static weight slices, depth×
     compile time). Measured neutral-to-slightly-negative on v5e encode — the
     per-layer weight relayout copies persist either way — so it stays off by
-    default; exposed for experimentation on other topologies.
+    default. An int unrolls the scan body that many layers per loop
+    iteration (``lax.scan``'s partial unroll): amortizes the per-iteration
+    weight-slice / stacked-grad dynamic-update-slice bookkeeping (profiled
+    ~6% of the p16 train step) without the full unroll's HBM blow-up
+    (fully-unrolled train backward measured 17.1G > 15.75G HBM).
     """
     if isinstance(stacked, (list, tuple)):
         from tae_tpu.ops.attention import default_backend
@@ -528,5 +534,6 @@ def blocks_apply(stacked: Params, x: jnp.ndarray, cfg: BlockConfig,
         policy = policies[remat] if isinstance(remat, str) else None
         fn = jax.checkpoint(fn, prevent_cse=False, policy=policy)
     depth = jax.tree.leaves(stacked)[0].shape[0]
-    y, _ = jax.lax.scan(fn, x, stacked, unroll=depth if unroll else 1)
+    u = depth if unroll is True else (int(unroll) or 1)
+    y, _ = jax.lax.scan(fn, x, stacked, unroll=u)
     return (y, None) if final_norm is not None else y

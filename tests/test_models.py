@@ -73,6 +73,21 @@ def test_tae_forward_shapes_and_loss():
     assert jnp.allclose(loss, jnp.mean((pred - target) ** 2), rtol=1e-6)
 
 
+def test_tae_forward_partial_unroll_matches_scan():
+    """lax.scan partial unroll (unroll=2 with remat — the train-perf
+    configuration, see docs/KERNELS.md train-side findings) computes the
+    same function as the default scan, up to reassociation rounding."""
+    model = models.tae.TAE(models.tae.TAEConfig(**TINY_TAE))
+    params = model.init(jax.random.key(0))
+    imgs = jax.random.normal(jax.random.key(1), (2, 3, 64, 64))
+    loss_ref, pred_ref = model.forward(params, imgs, policy=FP32)
+    loss_u, pred_u = jax.jit(
+        lambda p, b: model.forward(p, b, policy=FP32, remat=True, unroll=2)
+    )(params, imgs)
+    assert jnp.allclose(loss_ref, loss_u, rtol=1e-4)
+    assert jnp.allclose(pred_ref, pred_u, rtol=1e-3, atol=1e-4)
+
+
 def test_tae_bf16_policy_latent_dtype():
     """bf16 latents out of the encoder — the TPU analogue of the reference's
     fp16 dtype smoke test (reference tests/test_dtype.py:76-81)."""
