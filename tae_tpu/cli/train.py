@@ -35,7 +35,7 @@ from tae_tpu.data.loader import device_prefetch
 from tae_tpu.train import TrainState, adamw, make_train_step, step_lr
 from tae_tpu.utils.dtypes import Policy
 from tae_tpu.utils.image_grid import save_image
-from tae_tpu.utils.meters import MetricLogger, append_jsonl
+from tae_tpu.utils.meters import DeviceMetricRing, MetricLogger, append_jsonl
 
 
 def get_args_parser() -> argparse.ArgumentParser:
@@ -154,27 +154,13 @@ def main(args) -> None:
     metric_logger = MetricLogger()
     display_samples = None
 
-    # Over a high-latency link (e.g. a tunneled TPU relay) a per-iteration
-    # device_get of the metric scalars forces host<->device lockstep: the
-    # host blocks on every step plus one D2H round-trip per metric leaf
-    # (measured ~8.8 s/iter on the relay rig where compute alone is 1.3 s).
-    # Instead each step pushes (loss, lr, grad_norm) into a device-resident
-    # ring, drained in ONE transfer every `window` steps — per-iter values
-    # stay exact, and the host/decode/H2D/compute stages pipeline. The
-    # window is capped at 10 so the dispatch run-ahead holds at most 10
-    # batch buffers in HBM. The reference checks math.isfinite(loss) every
-    # step (train.py:152-155); here the abort fires at the next drain,
-    # <= window steps later — same abort, bounded delay.
-    window = max(1, min(args.log_freq, 10))
-
-    @jax.jit
-    def _push(buf, slot, m):
-        vec = jnp.stack([m["loss"], m["lr"], m["grad_norm"]])
-        return jax.lax.dynamic_update_index_in_dim(
-            buf, vec.astype(jnp.float32), slot, 0)
-
-    mbuf = jnp.zeros((window, 3), jnp.float32)
-    buffered: list[int] = []  # iteration numbers present in mbuf, in order
+    # Device-resident metric ring (utils/meters.py:DeviceMetricRing):
+    # per-iter values stay exact, one D2H transfer per window. The window
+    # is capped at 10 so the dispatch run-ahead holds at most 10 batch
+    # buffers in HBM. The reference checks math.isfinite(loss) every step
+    # (train.py:152-155); here the abort fires at the next drain.
+    ring = DeviceMetricRing(("loss", "lr", "grad_norm"),
+                            window=min(args.log_freq, 10))
 
     print("Starting TAE training!")
     for it, imgs in enumerate(device_prefetch(train_batches(),
@@ -187,20 +173,15 @@ def main(args) -> None:
 
         state, metrics = step(state, imgs, jnp.int32(it))
 
-        mbuf = _push(mbuf, len(buffered), metrics)
-        buffered.append(it)
-        if (len(buffered) == window or it % args.log_freq == 0
-                or it % args.save_freq == 0 or it == args.num_its - 1):
-            vals = np.asarray(jax.device_get(mbuf))[:len(buffered)]
-            for pit, (lv, lrv, gnv) in zip(buffered, vals):
-                if not math.isfinite(float(lv)):
-                    print(f"Loss is {float(lv)}, stopping training")
-                    sys.exit(1)
-                metric_logger.update(loss=float(lv), lr=float(lrv),
-                                     grad_norm=float(gnv))
-                if pit % args.log_freq == 0:
-                    print(f"it {pit}: {metric_logger}", flush=True)
-            buffered.clear()
+        force = (it % args.log_freq == 0 or it % args.save_freq == 0
+                 or it == args.num_its - 1)
+        for pit, vals in ring.push(it, metrics, force=force):
+            if not math.isfinite(vals["loss"]):
+                print(f"Loss is {vals['loss']}, stopping training")
+                sys.exit(1)
+            metric_logger.update(**vals)
+            if pit % args.log_freq == 0:
+                print(f"it {pit}: {metric_logger}", flush=True)
 
         if it != 0 and it % args.save_freq == 0:
             print(f"Iteration {it}, evaluating ...")

@@ -29,7 +29,7 @@ from tae_tpu.parallel import batch_sharding, is_main_process, shard_params
 from tae_tpu.train import TrainState, adamw, make_train_step, step_lr
 from tae_tpu.train.losses import cross_entropy, topk_accuracy
 from tae_tpu.utils.dtypes import Policy
-from tae_tpu.utils.meters import MetricLogger, append_jsonl
+from tae_tpu.utils.meters import DeviceMetricRing, MetricLogger, append_jsonl
 
 
 def get_args_parser() -> argparse.ArgumentParser:
@@ -164,7 +164,10 @@ def main(args) -> None:
             yield imgs, targets
 
     metric_logger = MetricLogger()
-    pending = None
+    # device-resident metric ring: one D2H transfer per window instead of
+    # a per-iter device_get lockstep (utils/meters.py:DeviceMetricRing)
+    ring = DeviceMetricRing(("loss", "acc1", "acc5"),
+                            window=min(args.log_freq, 10))
     print("Starting training!")
     for it, (imgs, targets) in enumerate(device_prefetch(
             batches(), sharding=(data_shard, target_shard))):
@@ -172,17 +175,17 @@ def main(args) -> None:
             break
         state, metrics = step(state, (imgs, targets), jnp.int32(it))
 
-        if pending is not None:
-            m = jax.device_get(pending[1])
-            if not math.isfinite(float(m["loss"])):
-                print(f"Loss is {float(m['loss'])}, stopping training")
+        force = (it % args.log_freq == 0 or it % args.save_freq == 0
+                 or it == args.num_its - 1)
+        for pit, vals in ring.push(it, metrics, force=force):
+            if not math.isfinite(vals["loss"]):
+                print(f"Loss is {vals['loss']}, stopping training")
                 sys.exit(1)
-            metric_logger.update(loss=float(m["loss"]))
-            metric_logger.update(n=args.batch_size, acc1=float(m["acc1"]),
-                                 acc5=float(m["acc5"]))
-            if pending[0] % args.log_freq == 0:
-                print(f"it {pending[0]}: {metric_logger}", flush=True)
-        pending = (it, metrics)
+            metric_logger.update(loss=vals["loss"])
+            metric_logger.update(n=args.batch_size, acc1=vals["acc1"],
+                                 acc5=vals["acc5"])
+            if pit % args.log_freq == 0:
+                print(f"it {pit}: {metric_logger}", flush=True)
 
         if it != 0 and it % args.save_freq == 0:
             print(f"Iteration {it}")

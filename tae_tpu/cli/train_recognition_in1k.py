@@ -31,7 +31,7 @@ from tae_tpu.parallel import batch_sharding, is_main_process, shard_params
 from tae_tpu.train import TrainState, adamw, epoch_step_lr, make_train_step
 from tae_tpu.train.losses import cross_entropy, topk_accuracy
 from tae_tpu.utils.dtypes import Policy
-from tae_tpu.utils.meters import MetricLogger, append_jsonl
+from tae_tpu.utils.meters import DeviceMetricRing, MetricLogger, append_jsonl
 
 
 def get_args_parser() -> argparse.ArgumentParser:
@@ -165,25 +165,28 @@ def main(args) -> None:
         loader = BatchLoader(make_iter, args.batch_size * args.accum_iter,
                              num_workers=args.num_workers, drop_last=True)
         metric_logger = MetricLogger()
-        pending = None
+        # device-resident metric ring: one D2H per window, no per-iter
+        # lockstep over the link (utils/meters.py:DeviceMetricRing)
+        ring = DeviceMetricRing(("loss", "lr"), window=min(args.log_freq, 10))
 
         def mixed():
             for batch in loader:
                 yield collate(batch)
 
+        def consume(drained):
+            for pit, vals in drained:
+                if not math.isfinite(vals["loss"]):
+                    print(f"Loss is {vals['loss']}, stopping training")
+                    sys.exit(1)
+                metric_logger.update(**vals)
+                if pit % args.log_freq == 0:
+                    print(f"ep {epoch} it {pit}: {metric_logger}", flush=True)
+
         for it, (imgs, soft) in enumerate(device_prefetch(
                 mixed(), sharding=(data_shard, soft_shard))):
             state, metrics = step(state, (imgs, soft), jnp.int32(epoch))
-            if pending is not None:
-                m = jax.device_get(pending[1])
-                if not math.isfinite(float(m["loss"])):
-                    print(f"Loss is {float(m['loss'])}, stopping training")
-                    sys.exit(1)
-                metric_logger.update(loss=float(m["loss"]), lr=float(m["lr"]))
-                if pending[0] % args.log_freq == 0:
-                    print(f"ep {epoch} it {pending[0]}: {metric_logger}",
-                          flush=True)
-            pending = (it, metrics)
+            consume(ring.push(it, metrics, force=it % args.log_freq == 0))
+        consume(ring.drain())
 
         print(f"Epoch {epoch}, evaluating ...")
         test_stats = evaluate(eval_step, state.params, args)

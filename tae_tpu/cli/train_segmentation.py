@@ -29,7 +29,7 @@ from tae_tpu.parallel import batch_sharding, is_main_process, shard_params
 from tae_tpu.train import TrainState, adamw, epoch_step_lr, make_train_step
 from tae_tpu.utils.confusion import ConfusionMatrix
 from tae_tpu.utils.dtypes import Policy
-from tae_tpu.utils.meters import MetricLogger, append_jsonl
+from tae_tpu.utils.meters import DeviceMetricRing, MetricLogger, append_jsonl
 
 
 def get_args_parser(add_help: bool = True) -> argparse.ArgumentParser:
@@ -172,19 +172,24 @@ def main(args) -> None:
         loader = BatchLoader(make_iter, args.batch_size_per_gpu,
                              num_workers=args.workers, drop_last=True)
         logger = MetricLogger()
-        pending = None
+        # device-resident metric ring: one D2H per window, no per-iter
+        # lockstep over the link (utils/meters.py:DeviceMetricRing)
+        ring = DeviceMetricRing(("loss", "lr"), window=min(args.print_freq, 10))
+
+        def consume(drained):
+            for pit, vals in drained:
+                if not math.isfinite(vals["loss"]):
+                    print(f"Loss is {vals['loss']}, stopping training")
+                    sys.exit(1)
+                logger.update(**vals)
+                if pit % args.print_freq == 0:
+                    print(f"Epoch: [{epoch}] [{pit}] {logger}", flush=True)
+
         for it, (imgs, target) in enumerate(device_prefetch(
                 loader, sharding=(data_shard, mask_shard))):
             state, metrics = step(state, (imgs, target), jnp.int32(epoch))
-            if pending is not None:
-                m = jax.device_get(pending[1])
-                if not math.isfinite(float(m["loss"])):
-                    print(f"Loss is {float(m['loss'])}, stopping training")
-                    sys.exit(1)
-                logger.update(loss=float(m["loss"]), lr=float(m["lr"]))
-                if pending[0] % args.print_freq == 0:
-                    print(f"Epoch: [{epoch}] [{pending[0]}] {logger}", flush=True)
-            pending = (it, metrics)
+            consume(ring.push(it, metrics, force=it % args.print_freq == 0))
+        consume(ring.drain())
 
         confmat = evaluate(predict, state.params, args, num_classes)
         print(confmat)

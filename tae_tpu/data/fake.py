@@ -95,7 +95,10 @@ def make_fake_coco(root: str | Path, n_train: int = 8, n_val: int = 4,
     return root
 
 
-def _structured_image(rng: np.random.Generator, size: int) -> np.ndarray:
+def _structured_image(rng: np.random.Generator, size: int,
+                      colors: tuple | None = None,
+                      top_ellipse_color: np.ndarray | None = None,
+                      num_shapes: int | None = None) -> np.ndarray:
     """A natural-image-like synthetic composition: smooth gradient sky,
     colored soft-edged shapes at multiple scales, and low-pass texture.
 
@@ -104,15 +107,24 @@ def _structured_image(rng: np.random.Generator, size: int) -> np.ndarray:
     plateaus immediately. These images have the strong spatial correlation
     reconstruction training actually exploits, making loss trajectories on
     them meaningful convergence evidence (docs/CONVERGENCE.md) in an
-    environment with no real ImageNet access."""
+    environment with no real ImageNet access.
+
+    ``colors`` pins the gradient endpoint colors, ``top_ellipse_color``
+    adds one large never-occluded center ellipse, and ``num_shapes``
+    overrides the random shape count — hooks for the class-conditioned
+    generators (labels must survive composition to be learnable)."""
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
-    c0 = rng.uniform(0, 255, 3).astype(np.float32)
-    c1 = rng.uniform(0, 255, 3).astype(np.float32)
+    if colors is None:
+        c0 = rng.uniform(0, 255, 3).astype(np.float32)
+        c1 = rng.uniform(0, 255, 3).astype(np.float32)
+    else:
+        c0, c1 = (np.asarray(c, np.float32) for c in colors)
     ang = rng.uniform(0, 2 * np.pi)
     t = (np.cos(ang) * xx + np.sin(ang) * yy)[..., None]
     t = (t - t.min()) / (t.max() - t.min() + 1e-6)
     img = c0 + (c1 - c0) * t                          # gradient background
-    for _ in range(int(rng.integers(4, 10))):          # soft ellipses
+    n_shapes = int(rng.integers(4, 10)) if num_shapes is None else num_shapes
+    for _ in range(n_shapes):                          # soft ellipses
         cx, cy = rng.uniform(0, 1, 2)
         rx, ry = rng.uniform(0.05, 0.45, 2)
         theta = rng.uniform(0, np.pi)
@@ -122,6 +134,13 @@ def _structured_image(rng: np.random.Generator, size: int) -> np.ndarray:
         d = u * u + v * v
         alpha = np.clip(1.5 - d * 1.5, 0.0, 1.0)[..., None]  # soft edge
         col = rng.uniform(0, 255, 3).astype(np.float32)
+        img = img * (1 - alpha) + col * alpha
+    if top_ellipse_color is not None:   # class-colored, drawn last (on top)
+        cx, cy = rng.uniform(0.35, 0.65, 2)
+        rx, ry = rng.uniform(0.22, 0.38, 2)
+        d = ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2
+        alpha = np.clip(1.5 - d * 1.5, 0.0, 1.0)[..., None]
+        col = np.asarray(top_ellipse_color, np.float32)
         img = img * (1 - alpha) + col * alpha
     # low-pass texture: upsampled coarse noise (cheap separable repeat)
     g = int(rng.integers(4, 16))
@@ -156,6 +175,121 @@ def make_structured_wds_shard(path: str | Path, num_samples: int = 1000,
                 info.size = len(data)
                 tf.addfile(info, _io.BytesIO(data))
     return path
+
+
+def make_classification_wds_shard(path: str | Path, num_samples: int = 500,
+                                  size: int = 288, num_classes: int = 20,
+                                  seed: int = 0, quality: int = 90) -> Path:
+    """Structured wds shard with LEARNABLE ``cls`` labels.
+
+    ``make_structured_wds_shard`` draws labels independently of pixels
+    (reconstruction training ignores them); here the class id
+    deterministically anchors the background-gradient color pair and the
+    color of one large always-on-top center ellipse (small per-instance
+    jitter), while shape layout and texture stay random. Any reasonable
+    frozen encoder preserves color statistics, so a downstream classifier
+    separates these well above chance — the on-chip downstream-convergence
+    fixture (docs/CONVERGENCE.md). Mirrors the (jpg, cls) sample layout the
+    reference's recognition stream consumes
+    (recognition/train_recognition_in19k.py:76-88)."""
+    import io as _io
+
+    from PIL import Image
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    with tarfile.open(path, "w") as tf:
+        for i in range(num_samples):
+            cls = int(rng.integers(0, num_classes))
+            anchor = np.random.default_rng(1000 + cls)
+            c0, c1, dom = (anchor.uniform(30, 225, 3).astype(np.float32)
+                           for _ in range(3))
+            jit = rng.uniform(-12, 12, (3, 3)).astype(np.float32)
+            # fewer random distractor shapes than the reconstruction
+            # fixture: they occlude the class-anchored colors (measured in
+            # tests: between-class mean-color distance vs within-class
+            # spread needs >2x for a clean learnability margin)
+            img = _structured_image(rng, size,
+                                    colors=(c0 + jit[0], c1 + jit[1]),
+                                    top_ellipse_color=dom + jit[2],
+                                    num_shapes=int(rng.integers(2, 5)))
+            buf = _io.BytesIO()
+            Image.fromarray(img, "RGB").save(buf, format="JPEG",
+                                             quality=quality)
+            jpg = buf.getvalue()
+            for ext, data in (("jpg", jpg), ("cls", str(cls).encode())):
+                info = tarfile.TarInfo(f"{i:06d}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+    return path
+
+
+def make_structured_coco(root: str | Path, n_train: int = 64, n_val: int = 16,
+                         size: int = 288, seed: int = 0) -> Path:
+    """COCO instances layout with LEARNABLE segmentation: each image holds
+    2-4 hard-edged ellipses on a gradient background; the ellipse fill
+    color is a deterministic function of its (VOC-mapped) COCO category,
+    and the polygon annotation traces the same ellipse — so a segmentation
+    head can learn color->class while the mask supervision is spatially
+    exact. Categories cycle over the 20 VOC foreground classes
+    (data/coco_seg.py:CAT_LIST; reference segmentation/coco_utils.py:88);
+    ellipse areas clear the 1000px train filter (coco_utils.py:75-83)."""
+    import json
+
+    from PIL import Image
+
+    from tae_tpu.data.coco_seg import CAT_LIST
+
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    cats = [c for c in CAT_LIST if c != 0]  # 20 foreground categories
+
+    def cat_color(cat: int) -> np.ndarray:
+        return np.random.default_rng(2000 + cat).uniform(
+            40, 255, 3).astype(np.float32)
+
+    for split, n in (("train2017", n_train), ("val2017", n_val)):
+        (root / split).mkdir(parents=True, exist_ok=True)
+        images, annotations = [], []
+        ann_id = 1
+        for i in range(n):
+            name = f"{i:012d}.jpg"
+            img = _structured_image(rng, size, num_shapes=0)  # background only
+            imgf = img.astype(np.float32)
+            yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+            # 2x2 quadrant grid keeps ellipses disjoint (bounded 255-overlap)
+            quads = rng.permutation(4)[:int(rng.integers(2, 5))]
+            for q in quads:
+                qx, qy = q % 2, q // 2
+                cx = (qx + rng.uniform(0.4, 0.6)) * size / 2
+                cy = (qy + rng.uniform(0.4, 0.6)) * size / 2
+                rx = rng.uniform(0.10, 0.21) * size
+                ry = rng.uniform(0.10, 0.21) * size
+                cat = int(cats[int(rng.integers(0, len(cats)))])
+                col = cat_color(cat) + rng.uniform(-10, 10, 3).astype(np.float32)
+                inside = (((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2) <= 1.0
+                imgf[inside] = np.clip(col, 0, 255)
+                t = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+                poly = np.stack([cx + rx * np.cos(t), cy + ry * np.sin(t)],
+                                axis=1).ravel()
+                annotations.append({
+                    "id": ann_id, "image_id": i + 1, "category_id": cat,
+                    "segmentation": [np.round(poly, 2).tolist()],
+                    "area": float(np.pi * rx * ry), "iscrowd": 0,
+                    "bbox": [float(cx - rx), float(cy - ry),
+                             float(2 * rx), float(2 * ry)]})
+                ann_id += 1
+            Image.fromarray(np.clip(imgf, 0, 255).astype(np.uint8),
+                            "RGB").save(root / split / name, quality=92)
+            images.append({"id": i + 1, "file_name": name,
+                           "height": size, "width": size})
+        (root / "annotations").mkdir(parents=True, exist_ok=True)
+        (root / "annotations" / f"instances_{split}.json").write_text(
+            json.dumps({"images": images, "annotations": annotations,
+                        "categories": [{"id": c, "name": str(c)}
+                                       for c in range(1, 91)]}))
+    return root
 
 
 def make_structured_imagefolder(root: str | Path, num_images: int = 512,

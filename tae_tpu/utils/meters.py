@@ -154,3 +154,59 @@ def append_jsonl(path: str | Path, record: dict) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     with path.open("a") as f:
         f.write(json.dumps(record) + "\n")
+
+
+class DeviceMetricRing:
+    """Device-resident per-step metric buffer, drained in one transfer.
+
+    Over a high-latency host<->device link (e.g. a tunneled TPU relay) a
+    per-iteration ``jax.device_get`` of the step metrics forces lockstep:
+    the host blocks on every step plus one D2H round-trip per metric leaf
+    (measured ~8.8 s/iter on the relay rig where compute alone is 1.3 s —
+    the reference pays the same sync via ``loss.item()``, train.py:139,
+    cheap over PCIe). Each step instead pushes its scalars into a
+    device-resident ``(window, k)`` ring; :meth:`push` returns the drained
+    exact per-iteration values every ``window`` steps (ONE transfer), so
+    the host/decode/H2D/compute stages pipeline. Cap the window (drivers
+    use ``min(log_freq, 10)``) so dispatch run-ahead holds a bounded
+    number of batch buffers in HBM. Non-finite aborts move from
+    every-step to next-drain — same abort, <= window steps later.
+    """
+
+    def __init__(self, names: "tuple[str, ...] | list[str]", window: int):
+        import jax
+        import jax.numpy as jnp
+
+        self.names = tuple(names)
+        self.window = max(1, int(window))
+        self._buf = jnp.zeros((self.window, len(self.names)), jnp.float32)
+        self._its: list[int] = []
+        picks = self.names
+
+        @jax.jit
+        def _push(buf, slot, m):
+            vec = jnp.stack([m[n] for n in picks]).astype(jnp.float32)
+            return jax.lax.dynamic_update_index_in_dim(buf, vec, slot, 0)
+
+        self._pushfn = _push
+
+    def push(self, it: int, metrics: dict, force: bool = False):
+        """Buffer step ``it``'s metrics; return [(it, {name: float})...]
+        in iteration order when the ring fills (or ``force``), else []."""
+        self._buf = self._pushfn(self._buf, len(self._its), metrics)
+        self._its.append(it)
+        if force or len(self._its) == self.window:
+            return self.drain()
+        return []
+
+    def drain(self):
+        """Fetch all buffered rows in one ``device_get``; reset the ring."""
+        if not self._its:
+            return []
+        import jax
+
+        vals = np.asarray(jax.device_get(self._buf))[:len(self._its)]
+        out = [(pit, dict(zip(self.names, map(float, row))))
+               for pit, row in zip(self._its, vals)]
+        self._its.clear()
+        return out

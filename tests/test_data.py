@@ -453,3 +453,26 @@ def test_unstacked_blocks_match_scanned():
     z2 = model.forward_encoder(unstacked, imgs, policy=FP32)
     np.testing.assert_allclose(np.asarray(z2), np.asarray(z1),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_classification_shard_labels_are_learnable(tmp_path):
+    """make_classification_wds_shard ties pixels to labels: per-class mean
+    colors must separate (the downstream-convergence fixture would be
+    meaningless otherwise — random labels can't show a learning trainer)."""
+    from tae_tpu.data.fake import make_classification_wds_shard
+
+    p = make_classification_wds_shard(tmp_path / "c-000000.tar",
+                                      num_samples=36, size=64,
+                                      num_classes=3, seed=0)
+    sums: dict[int, list] = {}
+    for s in tar_samples(p):
+        img, cls = decode_jpg_cls(s)
+        assert 0 <= cls < 3
+        sums.setdefault(int(cls), []).append(np.asarray(img, np.float32).mean((0, 1)))
+    assert set(sums) == {0, 1, 2}
+    means = {k: np.mean(v, axis=0) for k, v in sums.items()}
+    # within-class spread small vs between-class distance
+    spread = max(np.linalg.norm(np.std(v, axis=0)) for v in sums.values())
+    dists = [np.linalg.norm(means[a] - means[b])
+             for a in means for b in means if a < b]
+    assert min(dists) > 2 * spread, (min(dists), spread)

@@ -260,3 +260,35 @@ def test_voc_dataset_layout(tmp_path):
     assert img.size == (48, 40) and mask.shape == (40, 48)
     val = VocSegmentation(tmp_path, "val")
     assert len(val) == 1
+
+
+def test_structured_coco_masks_align_with_colors(tmp_path):
+    """make_structured_coco ties mask labels to pixel colors: inside each
+    decoded class region the image color must match that category's
+    deterministic palette color — the downstream segmentation-convergence
+    fixture is only meaningful if the supervision is learnable."""
+    from tae_tpu.data.coco_seg import CAT_LIST
+    from tae_tpu.data.fake import make_structured_coco
+
+    root = make_structured_coco(tmp_path / "coco", n_train=6, n_val=2,
+                                size=96, seed=0)
+    ds = CocoVocSegmentation(root, "train")
+    assert len(ds) == 6
+    checked = 0
+    for i in range(len(ds)):
+        img, mask = ds[i]
+        arr = np.asarray(img, np.float32)
+        for voc in set(np.unique(mask)) - {0, 255}:
+            sel = mask == voc
+            assert sel.sum() > 96 * 96 * 0.01     # regions are sizeable
+            cat = CAT_LIST[int(voc)]
+            expect = np.random.default_rng(2000 + cat).uniform(40, 255, 3)
+            got = arr[sel].mean(axis=0)
+            # JPEG + jitter + polygon-boundary pixels: loose but binding
+            assert np.linalg.norm(got - np.clip(expect, 0, 255)) < 60, (
+                voc, got, expect)
+            checked += 1
+    assert checked >= 10
+    # 255 (overlap) pixels are rare by construction (quadrant placement)
+    _, m0 = ds[0]
+    assert (m0 == 255).mean() < 0.05

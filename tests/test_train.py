@@ -195,6 +195,30 @@ def test_meters_and_jsonl(tmp_path):
     assert [json.loads(l)["a"] for l in lines] == [1, 2]
 
 
+def test_device_metric_ring():
+    """DeviceMetricRing returns exact per-iteration values, in order, one
+    drain per window (or on force/final drain) — the relay-friendly
+    replacement for per-iter device_get in all trainer CLIs."""
+    from tae_tpu.utils.meters import DeviceMetricRing
+
+    ring = DeviceMetricRing(("loss", "lr"), window=3)
+    got = []
+    for it in range(7):
+        m = {"loss": jnp.float32(it * 1.5), "lr": jnp.float32(it),
+             "extra": jnp.float32(-1.0)}  # extra keys must be ignored
+        drained = ring.push(it, m, force=(it == 4))
+        if it in (2, 4):                   # window fill at 2; forced at 4
+            assert [p for p, _ in drained] == ([0, 1, 2] if it == 2 else [3, 4])
+        else:
+            assert drained == []
+        got.extend(drained)
+    got.extend(ring.drain())               # final partial drain: [5, 6]
+    assert ring.drain() == []              # idempotent when empty
+    assert [p for p, _ in got] == list(range(7))
+    for p, vals in got:
+        assert vals == {"loss": pytest.approx(p * 1.5), "lr": pytest.approx(p)}
+
+
 def test_log_every_and_profiling(tmp_path, capsys):
     from tae_tpu.utils.meters import MetricLogger
     from tae_tpu.utils import profiling
