@@ -63,6 +63,9 @@ def get_args_parser() -> argparse.ArgumentParser:
                    help="train from pre-encoded latent shards (encode CLI "
                         "output index) instead of images+frozen encoder")
     p.add_argument("--num_workers", default=16, type=int)
+    p.add_argument("--device_normalize", action="store_true",
+                   help="ship uint8 pixels and normalize on device (4x "
+                        "smaller H2D copies; needs the native decoder)")
     p.add_argument("--output_dir", default="./output_dir")
     p.add_argument("--log_freq", default=50, type=int)
     _common.add_tpu_args(p)
@@ -127,11 +130,17 @@ def main(args) -> None:
 
     enc_policy = Policy(param_dtype=jnp.bfloat16)
 
+    from tae_tpu.data.transforms import maybe_device_normalize
+
     def loss_fn(p, batch):
         x, targets = batch
         if from_latents:
             z = x
         else:
+            # uint8 batches (--device_normalize) normalize on device, same
+            # fusion as cli/train.py — the elementwise op rides the frozen
+            # encoder's patch-embed read
+            x = maybe_device_normalize(x, encoder.cfg.patch_size, jnp.float32)
             z = jax.lax.stop_gradient(encoder.forward_encoder(
                 enc_params, x, policy=enc_policy, backend=args.attn_backend))
         logits = model.forward(p, z, policy=policy, backend=args.attn_backend,

@@ -91,6 +91,7 @@ def test_in19k_cli_end_to_end(tmp_path):
         "--num_its", "7", "--save_freq", "5", "--num_workers", "0",
         "--train_data_path", str(tmp_path / "t-000000.tar"),
         "--output_dir", str(out), "--save_prefix", "r19",
+        "--device_normalize",  # uint8 H2D + on-device normalize path
     ])
     cli.main(args)
     log = (out / "r19_vit_recognition_numpatches16_vocab256_base_log.txt")
