@@ -15,10 +15,19 @@
 #   make_structured_coco("/root/repo/.convergence/coco", n_train=400,
 #                        n_val=64, size=288, seed=0)
 #   PY
-# Usage: downstream_segmentation_run.sh [epochs]
+# Usage: downstream_segmentation_run.sh [epochs] [model_ckpt]
+#   model_ckpt (optional): a recognition-trainer checkpoint dir to
+#   initialize the trunk from (the reference workflow — their seg driver
+#   loads an in1k-pretrained recognition checkpoint and swaps heads,
+#   segmentation/train.py:150-157). Pass the downstream_recognition_run
+#   output, e.g. .convergence/out_rec/dconv_*_checkpoint (20 classes).
 set -x
 cd /root/repo
 export TAE_TPU_COMPILE_CACHE=/root/repo/.xla_cache
+CKPT_ARGS=()
+if [ -n "${2:-}" ]; then
+  CKPT_ARGS=(--model_ckpt "$2" --pretrain_num_classes 20)
+fi
 exec python -m tae_tpu.cli.train_segmentation \
   --dataset coco --data_path /root/repo/.convergence/coco \
   --model vit_segmentation_numpatches256_vocab16_base \
@@ -26,4 +35,5 @@ exec python -m tae_tpu.cli.train_segmentation \
   --encoder_quantization int8 \
   --batch_size_per_gpu 8 --epochs "${1:-12}" \
   --workers 1 --print_freq 10 \
+  "${CKPT_ARGS[@]}" \
   --output_dir /root/repo/.convergence/out_seg

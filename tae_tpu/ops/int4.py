@@ -17,6 +17,14 @@ transformer-block matmul weights as packed int4:
     rows: each nibble plane is a contiguous K-slice, which is what lets the
     Pallas kernels run plane-local MXU dots on static slices (Mosaic cannot
     shuffle sublanes cheaply).
+  * byte encoding: **offset-8 low nibble** — ``byte = 16·hi + (lo + 8)`` as
+    a signed int8 (range [-111, 127] for hi, lo ∈ [-7, 7]). Decode is then
+    2 VPU ops per plane on the sign-extended byte: ``hi = b >> 4`` (exact
+    arithmetic-shift floor division, because the remainder ``lo + 8`` is
+    in [1, 15]) and ``lo = (b & 15) - 8`` — vs 4-5 ops/plane for the
+    mask+sign-extend decode of a plain two's-complement nibble pack. The
+    decode is the dominant VPU cost of the int4 kernels (docs/KERNELS.md),
+    which is why the byte layout is chosen for decode cost, not readability.
   * activations: dynamic per-row int8 exactly like the int8 path (the int4
     trade is weight *bytes*, not activation precision).
   * matmul: int8×int8→int32 per group on the MXU (int4 operands are
@@ -72,16 +80,20 @@ def quantize_weight_int4(w: jnp.ndarray, group: int | None = None
     q = jnp.clip(jnp.round(w32 / scale[:, None]), -7, 7).astype(jnp.int32)
     q = q.reshape(k, n)
     lo, hi = q[: k // 2], q[k // 2:]
-    byte = ((hi & 0xF) << 4) | (lo & 0xF)              # [0, 255]
-    packed = jnp.where(byte > 127, byte - 256, byte).astype(jnp.int8)
+    byte = hi * 16 + (lo + 8)                          # [-111, 127]
+    packed = byte.astype(jnp.int8)
     return packed, scale
 
 
 def unpack_int4(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(K/2, N) packed bytes -> (lo, hi) int8 nibble planes in [-8, 7]."""
-    u = packed.astype(jnp.int32) & 0xFF
-    lo = ((u & 0xF) ^ 8) - 8
-    hi = (((u >> 4) & 0xF) ^ 8) - 8
+    """(K/2, N) packed bytes -> (lo, hi) int8 nibble planes in [-7, 7].
+
+    Offset-8 decode (see module docstring): on the sign-extended byte,
+    ``b >> 4`` is an exact floor division by 16 because the low-nibble
+    remainder ``lo + 8`` is in [1, 15]."""
+    b = packed.astype(jnp.int32)
+    lo = (b & 15) - 8
+    hi = b >> 4
     return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 

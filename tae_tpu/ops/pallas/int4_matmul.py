@@ -28,9 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 from tae_tpu.ops.int8 import vmem_limit as _vmem_limit
 
 
-def _unpack(u32):
-    lo = ((u32 & 0xF) ^ 8) - 8
-    hi = (((u32 >> 4) & 0xF) ^ 8) - 8
+def _unpack(b32):
+    # offset-8 byte layout (tae_tpu.ops.int4): b = 16·hi + (lo + 8), decoded
+    # from the SIGN-extended byte — the arithmetic shift is an exact floor
+    # division because the low-nibble remainder is in [1, 15]
+    lo = (b32 & 15) - 8
+    hi = b32 >> 4
     return lo.astype(jnp.int8), hi.astype(jnp.int8)
 
 
@@ -43,7 +46,7 @@ def _kernel(xlo_ref, xhi_ref, w_ref, slo_ref, shi_ref, sx_ref, b_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    lo, hi = _unpack(w_ref[:].astype(jnp.int32) & 0xFF)
+    lo, hi = _unpack(w_ref[:].astype(jnp.int32))
     ig_lo = jax.lax.dot_general(xlo_ref[:], lo, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.int32)
     ig_hi = jax.lax.dot_general(xhi_ref[:], hi, (((1,), (0,)), ((), ())),

@@ -432,10 +432,12 @@ def test_int4_pack_unpack_roundtrip():
     assert w4.shape == (256, 128) and w4.dtype == jnp.int8
     assert s.shape == (4, 128) and s.dtype == jnp.float32
     lo, hi = unpack_int4(w4)
-    assert int(jnp.min(lo)) >= -8 and int(jnp.max(lo)) <= 7
-    # reconstruct q from planes and check the packing law byte-for-byte
-    q = np.concatenate([np.asarray(lo), np.asarray(hi)], 0)
-    byte = ((q[256:] & 0xF) << 4) | (q[:256] & 0xF)
+    assert int(jnp.min(lo)) >= -7 and int(jnp.max(lo)) <= 7
+    assert int(jnp.min(hi)) >= -7 and int(jnp.max(hi)) <= 7
+    # reconstruct q from planes and check the offset-8 packing law
+    # byte-for-byte: byte = 16·hi + (lo + 8)  (tae_tpu/ops/int4.py)
+    q = np.concatenate([np.asarray(lo), np.asarray(hi)], 0).astype(np.int32)
+    byte = q[256:] * 16 + (q[:256] + 8)
     np.testing.assert_array_equal(byte.astype(np.int8), np.asarray(w4))
     # dequant error <= step/2 per group
     wd = np.asarray(dequantize_int4(w4, s))
