@@ -225,6 +225,35 @@ def make_classification_wds_shard(path: str | Path, num_samples: int = 500,
     return path
 
 
+def make_classification_imagefolder(root: str | Path, num_images: int = 400,
+                                    size: int = 288, num_classes: int = 20,
+                                    seed: int = 0) -> Path:
+    """ImageFolder counterpart of :func:`make_classification_wds_shard` —
+    same class-anchored colors (class ``c`` uses anchor rng ``1000 + c``,
+    so features learned on the wds fixture transfer), ``class_%03d/``
+    subdirectories in torchvision ImageFolder layout. Drives the in1k
+    fine-tune trainer (reference recognition/train_recognition_in1k.py:96-101
+    builds ImageFolder('train'/'val') datasets)."""
+    from PIL import Image
+
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    for i in range(num_images):
+        cls = i % num_classes
+        anchor = np.random.default_rng(1000 + cls)
+        c0, c1, dom = (anchor.uniform(30, 225, 3).astype(np.float32)
+                       for _ in range(3))
+        jit = rng.uniform(-12, 12, (3, 3)).astype(np.float32)
+        img = _structured_image(rng, size,
+                                colors=(c0 + jit[0], c1 + jit[1]),
+                                top_ellipse_color=dom + jit[2],
+                                num_shapes=int(rng.integers(2, 5)))
+        d = root / f"class_{cls:03d}"
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(img, "RGB").save(d / f"img_{i:06d}.jpg", quality=90)
+    return root
+
+
 def make_structured_coco(root: str | Path, n_train: int = 64, n_val: int = 16,
                          size: int = 288, seed: int = 0) -> Path:
     """COCO instances layout with LEARNABLE segmentation: each image holds
