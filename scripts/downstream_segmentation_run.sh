@@ -15,12 +15,15 @@
 #   make_structured_coco("/root/repo/.convergence/coco", n_train=400,
 #                        n_val=64, size=288, seed=0)
 #   PY
-# Usage: downstream_segmentation_run.sh [epochs] [model_ckpt]
+# Usage: downstream_segmentation_run.sh [epochs] [model_ckpt] [lr] [outdir]
 #   model_ckpt (optional): a recognition-trainer checkpoint dir to
 #   initialize the trunk from (the reference workflow — their seg driver
 #   loads an in1k-pretrained recognition checkpoint and swaps heads,
 #   segmentation/train.py:150-157). Pass the downstream_recognition_run
 #   output, e.g. .convergence/out_rec/dconv_*_checkpoint (20 classes).
+#   lr (optional, default 0.01 = the reference default): the CPU probe
+#   (scripts/seg_probe.py, docs/CONVERGENCE.md) isolated the mIoU plateau
+#   to AdamW lr 0.01 at depth-12 scale — pass 1e-3 for evidence runs.
 set -x
 cd /root/repo
 export TAE_TPU_COMPILE_CACHE=/root/repo/.xla_cache
@@ -34,6 +37,7 @@ exec python -m tae_tpu.cli.train_segmentation \
   --encoder tae_patch16_vocab16_px256 \
   --encoder_quantization int8 \
   --batch_size_per_gpu 8 --epochs "${1:-12}" \
+  --lr "${3:-0.01}" \
   --workers 1 --print_freq 10 \
   "${CKPT_ARGS[@]}" \
-  --output_dir /root/repo/.convergence/out_seg
+  --output_dir "${4:-/root/repo/.convergence/out_seg}"
