@@ -48,22 +48,27 @@ K_LONG = 12
 # +~1.5 s of bench wall time. The trip count is traced, so no extra compile.
 K_LONG_HEADLINE = 48
 
-# (name, model, batch, int8, patchin) — batch/config choices are the measured
+# (name, model, batch, mode, patchin) — batch/config choices are the measured
 # optima on v5e (see CLAUDE.md / docs/KERNELS.md measured numbers).
-# int8 runs use the serving layout (quantize_params + unstack_blocks).
+# mode "int8" runs the serving layout (quantize_params + unstack_blocks);
+# "int4" the paired-plane w4a8 layout (encoder-pruned, prepare_serving_params
+# — the same graph scripts/serve_latency.py measures, so its cache is warm).
 # patchin feeds the pre-patchified (B, N, C*p*p) layout the native decoder
 # emits (--patch_layout): patch embedding is a pure matmul, zero relayout.
 ENCODE_CONFIGS = [
-    ("encode_p16_bf16_b128", "tae_patch16_vocab256_px256", 128, False, True),
-    ("encode_p16_int8_b128", "tae_patch16_vocab256_px256", 128, True, True),
-    ("encode_p32_int8_b128", "tae_patch32_vocab1024_px256", 128, True, True),
-    ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, False, False),
-    ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, True, True),
-    ("encode_p128_bf16_b1024", "tae_patch128_vocab4096_px256", 1024, False, True),
-    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, True, True),  # noqa: E501 — headline config, uses K_LONG_HEADLINE
+    ("encode_p16_bf16_b128", "tae_patch16_vocab256_px256", 128, "bf16", True),
+    ("encode_p16_int8_b128", "tae_patch16_vocab256_px256", 128, "int8", True),
+    ("encode_p32_int8_b128", "tae_patch32_vocab1024_px256", 128, "int8", True),
+    ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, "bf16", False),
+    ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, "int8", True),
+    ("encode_p128_bf16_b1024", "tae_patch128_vocab4096_px256", 1024, "bf16", True),
+    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, "int8", True),  # noqa: E501 — headline config, uses K_LONG_HEADLINE
     # small-batch serving latency regression guard (the bm-restream fix:
     # 15.0 -> 2.78 ms/batch); reported as img/s, latency = 8000/value ms
-    ("serve_p64_int8_b8", "tae_patch64_vocab4096_px256", 8, True, True),
+    ("serve_p64_int8_b8", "tae_patch64_vocab4096_px256", 8, "int8", True),
+    # batch-1 latency guard for the paired-plane int4 regime (r3s6: int4
+    # 2.46 ms beats int8 2.85 on the 3.7B config); latency = 1000/value ms
+    ("serve_p128_int4_b1", "tae_patch128_vocab16384_px256", 1, "int4", True),
 ]
 
 
@@ -77,14 +82,20 @@ def _timed_loop(model, policy, params, imgs, k: int, run):
     return best
 
 
-def bench_encode(name: str, model_name: str, batch: int, int8: bool,
+def bench_encode(name: str, model_name: str, batch: int, mode: str,
                  patchin: bool) -> float:
     from tae_tpu import models
     from tae_tpu.utils.dtypes import Policy
 
     model = models.create(model_name)
     params = jax.jit(lambda k: model.init(k, dtype=jnp.bfloat16))(jax.random.key(0))
-    if int8:
+    if mode == "int4":
+        from tae_tpu.ops.int8 import prepare_serving_params
+        from tae_tpu.tokenizer import prune_component
+
+        params = prune_component(params, "encoder")
+        params = prepare_serving_params(params, "int4", patch_input=patchin)
+    elif mode == "int8":
         from tae_tpu.ops.int8 import quantize_params, unstack_blocks
 
         # pre-patchified input has no relayout ahead of the activation
@@ -113,7 +124,11 @@ def bench_encode(name: str, model_name: str, batch: int, int8: bool,
         out = jax.lax.fori_loop(0, k, body, imgs)
         return jnp.sum(out[0, 0, 0])
 
-    k_long = K_LONG_HEADLINE if name == "encode_p128_int8_b256" else K_LONG
+    # K=48 where per-iter is ~2-20 ms: the headline loop and the b1 latency
+    # guard (K=12 differencing there is at the mercy of relay jitter)
+    k_long = (K_LONG_HEADLINE
+              if name in ("encode_p128_int8_b256", "serve_p128_int4_b1")
+              else K_LONG)
     float(run(params, imgs, jnp.int32(1)))  # compile once (k is traced)
     t1 = _timed_loop(model, policy, params, imgs, 1, run)
     tk = _timed_loop(model, policy, params, imgs, k_long, run)
@@ -246,9 +261,9 @@ def bench_train_recognition(batch: int = 64, steps: int = 6) -> float:
 
 def main() -> None:
     detail: dict[str, float] = {}
-    for name, model_name, batch, int8, patchin in ENCODE_CONFIGS:
+    for name, model_name, batch, mode, patchin in ENCODE_CONFIGS:
         detail[name] = round(
-            bench_encode(name, model_name, batch, int8, patchin), 1)
+            bench_encode(name, model_name, batch, mode, patchin), 1)
         print(f"# {name}: {detail[name]} img/s", flush=True)
     train_rate, train_mfu = bench_train()
     detail["train_p16_fp32adam_mb64_remat"] = round(train_rate, 1)
