@@ -124,10 +124,13 @@ def bench_encode(name: str, model_name: str, batch: int, mode: str,
         out = jax.lax.fori_loop(0, k, body, imgs)
         return jnp.sum(out[0, 0, 0])
 
-    # K=48 where per-iter is ~2-20 ms: the headline loop and the b1 latency
-    # guard (K=12 differencing there is at the mercy of relay jitter)
+    # K=48 where per-iter is ~2-20 ms: the headline loop and the small-batch
+    # serving guards. K=12 differencing there is at the mercy of relay
+    # jitter — the r3s7 run read serve_p64_int8_b8 at 1.62 ms/batch, below
+    # its ~2.07 ms weight-DMA floor, a physically impossible number.
     k_long = (K_LONG_HEADLINE
-              if name in ("encode_p128_int8_b256", "serve_p128_int4_b1")
+              if name in ("encode_p128_int8_b256", "serve_p128_int4_b1",
+                          "serve_p64_int8_b8")
               else K_LONG)
     float(run(params, imgs, jnp.int32(1)))  # compile once (k is traced)
     t1 = _timed_loop(model, policy, params, imgs, 1, run)
