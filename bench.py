@@ -20,25 +20,14 @@ K=1 run. The trip count is a traced argument so each config compiles ONCE
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-# persistent compilation cache: the traffic-planned int8 kernels (r3) can
-# take minutes each to Mosaic-compile over the tunneled compile helper; a
-# warm cache cuts a cold bench run from ~45+ min of compiles to seconds.
-# Lives under the repo because on some rigs only /root/repo survives VM
-# resets (/tmp does not); TAE_TPU_COMPILE_CACHE overrides.
-# Harmless no-op if the backend path bypasses it.
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("TAE_TPU_COMPILE_CACHE", "/root/repo/.xla_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+from tae_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/root/repo/.xla_cache")
 
 BASELINE_IMG_PER_SEC = 10_000.0
 K_LONG = 12

@@ -17,15 +17,14 @@ import os
 import sys
 import time
 
-os.environ.setdefault("TAE_TPU_COMPILE_CACHE", "/root/repo/.xla_cache")
 sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["TAE_TPU_COMPILE_CACHE"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from tae_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/root/repo/.xla_cache")
 
 
 def bench_train_unroll(unroll: int, batch: int = 64, steps: int = 8) -> float:
@@ -76,8 +75,11 @@ def main() -> None:
         print(f"RESULT train_p16_mb64_remat_unroll{unroll}: {rate:.1f} img/s",
               flush=True)
 
-    # p32 int8 encode: q8-out attention probe under the 32M vmem limit
-    p32 = ("tae_patch32_vocab1024_px256", 128, True, True)
+    # p32 int8 encode: q8-out attention probe under the 32M vmem limit.
+    # bench_encode's 4th param is the quantization MODE STRING — a stale
+    # boolean here once silently ran both probes on the bf16 path (the
+    # A/B compared two identical programs; re-measured after the fix)
+    p32 = ("tae_patch32_vocab1024_px256", 128, "int8", True)
     rate = bench_encode("exp_p32_int8", *p32)
     print(f"RESULT encode_p32_int8_b128 (q8 default=off): {rate:.1f} img/s",
           flush=True)

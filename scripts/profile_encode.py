@@ -21,11 +21,9 @@ import time
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.xla_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+from tae_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/root/repo/.xla_cache")
 
 # name -> (model, batch, int8, patchin)  — mirrors bench.py ENCODE_CONFIGS
 CONFIGS = {

@@ -16,19 +16,14 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import time
 
 import jax
 import jax.numpy as jnp
 
-try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get("TAE_TPU_COMPILE_CACHE", "/root/repo/.xla_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:
-    pass
+from tae_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/root/repo/.xla_cache")
 
 
 def measure(model_name: str, batch: int, quant: str, k: int) -> float:

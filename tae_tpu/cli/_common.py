@@ -44,18 +44,11 @@ def add_tpu_args(parser: argparse.ArgumentParser) -> None:
 
 
 def build_mesh(args):
-    # Opt-in persistent XLA compilation cache (TAE_TPU_COMPILE_CACHE=<dir>):
-    # over a remote-compile relay the accum-scan train step costs 15-20 min
-    # cold, so preemption-resumed runs (--resume_auto) would repay it every
-    # restart without this.  bench.py sets its own cache dir the same way.
-    import os
+    # Opt-in persistent XLA compilation cache (TAE_TPU_COMPILE_CACHE=<dir>);
+    # no default path: users opt in, benches pass a repo-local default.
+    from tae_tpu.utils.compile_cache import enable_compile_cache
 
-    cache_dir = os.environ.get("TAE_TPU_COMPILE_CACHE")
-    if cache_dir:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    enable_compile_cache()
     return make_mesh(data=-1, fsdp=args.mesh_fsdp, tensor=args.mesh_tensor)
 
 

@@ -20,8 +20,6 @@ Run: ``python -m tae_tpu.cli.train --model tae_patch16_vocab16_px256
 from __future__ import annotations
 
 import argparse
-import math
-import sys
 from pathlib import Path
 
 import jax
@@ -162,6 +160,11 @@ def main(args) -> None:
     ring = DeviceMetricRing(("loss", "lr", "grad_norm"),
                             window=min(args.log_freq, 10))
 
+    def on_metrics(pit, vals):
+        metric_logger.update(**vals)
+        if pit % args.log_freq == 0:
+            print(f"it {pit}: {metric_logger}", flush=True)
+
     print("Starting TAE training!")
     for it, imgs in enumerate(device_prefetch(train_batches(),
                                               sharding=data_shard),
@@ -175,13 +178,7 @@ def main(args) -> None:
 
         force = (it % args.log_freq == 0 or it % args.save_freq == 0
                  or it == args.num_its - 1)
-        for pit, vals in ring.push(it, metrics, force=force):
-            if not math.isfinite(vals["loss"]):
-                print(f"Loss is {vals['loss']}, stopping training")
-                sys.exit(1)
-            metric_logger.update(**vals)
-            if pit % args.log_freq == 0:
-                print(f"it {pit}: {metric_logger}", flush=True)
+        ring.consume(ring.push(it, metrics, force=force), on_metrics)
 
         if it != 0 and it % args.save_freq == 0:
             print(f"Iteration {it}, evaluating ...")
@@ -230,6 +227,9 @@ def main(args) -> None:
                            nrow=8, padding=1)
 
             metric_logger = MetricLogger()
+
+    # rows buffered when the data iterator ends before num_its
+    ring.consume(ring.drain(), on_metrics)
 
 
 def evaluate(eval_fn, params, args, mesh) -> float:

@@ -15,8 +15,6 @@ program shards over (data, fsdp, tensor) with no explicit copies.
 from __future__ import annotations
 
 import argparse
-import math
-import sys
 from pathlib import Path
 
 import jax
@@ -177,6 +175,14 @@ def main(args) -> None:
     # a per-iter device_get lockstep (utils/meters.py:DeviceMetricRing)
     ring = DeviceMetricRing(("loss", "acc1", "acc5"),
                             window=min(args.log_freq, 10))
+
+    def on_metrics(pit, vals):
+        metric_logger.update(loss=vals["loss"])
+        metric_logger.update(n=args.batch_size, acc1=vals["acc1"],
+                             acc5=vals["acc5"])
+        if pit % args.log_freq == 0:
+            print(f"it {pit}: {metric_logger}", flush=True)
+
     print("Starting training!")
     for it, (imgs, targets) in enumerate(device_prefetch(
             batches(), sharding=(data_shard, target_shard))):
@@ -186,15 +192,7 @@ def main(args) -> None:
 
         force = (it % args.log_freq == 0 or it % args.save_freq == 0
                  or it == args.num_its - 1)
-        for pit, vals in ring.push(it, metrics, force=force):
-            if not math.isfinite(vals["loss"]):
-                print(f"Loss is {vals['loss']}, stopping training")
-                sys.exit(1)
-            metric_logger.update(loss=vals["loss"])
-            metric_logger.update(n=args.batch_size, acc1=vals["acc1"],
-                                 acc5=vals["acc5"])
-            if pit % args.log_freq == 0:
-                print(f"it {pit}: {metric_logger}", flush=True)
+        ring.consume(ring.push(it, metrics, force=force), on_metrics)
 
         if it != 0 and it % args.save_freq == 0:
             print(f"Iteration {it}")
@@ -210,6 +208,9 @@ def main(args) -> None:
                 append_jsonl(Path(args.output_dir) /
                              f"{args.save_prefix}_{args.model}_log.txt", log_stats)
             metric_logger = MetricLogger()
+
+    # rows buffered when the data iterator ends before num_its
+    ring.consume(ring.drain(), on_metrics)
 
 
 def cli_main() -> None:

@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import math
-import sys
 from pathlib import Path
 
 import jax
@@ -173,20 +171,17 @@ def main(args) -> None:
             for batch in loader:
                 yield collate(batch)
 
-        def consume(drained):
-            for pit, vals in drained:
-                if not math.isfinite(vals["loss"]):
-                    print(f"Loss is {vals['loss']}, stopping training")
-                    sys.exit(1)
-                metric_logger.update(**vals)
-                if pit % args.log_freq == 0:
-                    print(f"ep {epoch} it {pit}: {metric_logger}", flush=True)
+        def on_metrics(pit, vals):
+            metric_logger.update(**vals)
+            if pit % args.log_freq == 0:
+                print(f"ep {epoch} it {pit}: {metric_logger}", flush=True)
 
         for it, (imgs, soft) in enumerate(device_prefetch(
                 mixed(), sharding=(data_shard, soft_shard))):
             state, metrics = step(state, (imgs, soft), jnp.int32(epoch))
-            consume(ring.push(it, metrics, force=it % args.log_freq == 0))
-        consume(ring.drain())
+            ring.consume(ring.push(it, metrics, force=it % args.log_freq == 0),
+                         on_metrics)
+        ring.consume(ring.drain(), on_metrics)
 
         print(f"Epoch {epoch}, evaluating ...")
         test_stats = evaluate(eval_step, state.params, args)

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import argparse
 import functools
-import math
-import sys
 from pathlib import Path
 
 import jax
@@ -176,20 +174,18 @@ def main(args) -> None:
         # lockstep over the link (utils/meters.py:DeviceMetricRing)
         ring = DeviceMetricRing(("loss", "lr"), window=min(args.print_freq, 10))
 
-        def consume(drained):
-            for pit, vals in drained:
-                if not math.isfinite(vals["loss"]):
-                    print(f"Loss is {vals['loss']}, stopping training")
-                    sys.exit(1)
-                logger.update(**vals)
-                if pit % args.print_freq == 0:
-                    print(f"Epoch: [{epoch}] [{pit}] {logger}", flush=True)
+        def on_metrics(pit, vals):
+            logger.update(**vals)
+            if pit % args.print_freq == 0:
+                print(f"Epoch: [{epoch}] [{pit}] {logger}", flush=True)
 
         for it, (imgs, target) in enumerate(device_prefetch(
                 loader, sharding=(data_shard, mask_shard))):
             state, metrics = step(state, (imgs, target), jnp.int32(epoch))
-            consume(ring.push(it, metrics, force=it % args.print_freq == 0))
-        consume(ring.drain())
+            ring.consume(ring.push(it, metrics,
+                                   force=it % args.print_freq == 0),
+                         on_metrics)
+        ring.consume(ring.drain(), on_metrics)
 
         confmat = evaluate(predict, state.params, args, num_classes)
         print(confmat)

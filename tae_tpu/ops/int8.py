@@ -113,6 +113,10 @@ def _plan_blocks(m: int, k: int, n: int, out_bytes: int = 2,
     bk = _block_k(k)
     env_bm, env_bn = (os.environ.get("TAE_TPU_I8_BM"),
                       os.environ.get("TAE_TPU_I8_BN"))
+    # an explicit budget (argument or TAE_TPU_I8_VMEM_BUDGET) is a tuning
+    # override: it must not be re-clamped below
+    explicit_budget = (budget is not None
+                       or "TAE_TPU_I8_VMEM_BUDGET" in os.environ)
     if budget is None:
         # 7/8 of the kernel vmem limit: the empirical footprint model ran
         # ~2-4% under Mosaic's real allocation in observed graphs, so keep
@@ -126,7 +130,7 @@ def _plan_blocks(m: int, k: int, n: int, out_bytes: int = 2,
         # either way; keep the r2c-measured blocking (bn 768 measured -11%
         # on serve_p64_int8_b8)
         return m_pad, _block(n, 512), bk
-    if m_pad <= 1024:
+    if m_pad <= 1024 and not explicit_budget:
         # small-M encode regime: the 28M-budget plans the 32M vmem limit
         # enables measured -7.5% on p128 b256 (m=1024) while the same
         # budget gained +4-6% at m>=2048 — with few m-blocks the bigger

@@ -150,6 +150,52 @@ def _mlp_kernel(xq_ref, sx_ref, w1_ref, sw1_ref, b1_ref, w2_ref,
             _ln_quant_epilogue(y, g_ref, be_ref, nq_ref, ns_ref, ln_eps)
 
 
+def _ln_chain_bm(m: int, d: int, hdim: int, block_m: int,
+                 bh: int) -> int | None:
+    """Pick the m-block for a chained LN+quantize MLP epilogue, or None.
+
+    The chained epilogue adds an s8 (bm, d) + (bm, 1) output pair plus LN
+    temporaries. Never accept estimates right AT the scoped limit: the
+    boundary is graph-dependent — at the historical 16M limit the p16
+    bm-512 chained estimate landed on exactly 16.00M and compiled in the
+    bench/encode graphs, yet Mosaic allocated 17.43M for the same kernel
+    spec inside a batch-64 serving graph with a float pred head (caught by
+    a real-TPU drive; the Mosaic footprint varies ~4% with surrounding
+    layout constraints). So: accept only under a margined budget
+    (TAE_TPU_INT8_MLP_LN_BUDGET overrides), and when the default bm busts
+    it try other m-blocks — but only those whose chained weight traffic
+    (fc1+fc2 restream once per m-block) still beats the unchained kernel
+    plus the standalone ln_quant pass it replaces (read (M, D) bf16 +
+    write s8 + scales ~ 3 bytes/elem); None = caller runs ln_quant.
+    TAE_TPU_INT8_MLP_LN_FORCE bypasses both bounds (tuning knob).
+    """
+    from tae_tpu.ops.int8 import vmem_limit
+
+    budget = int(os.environ.get("TAE_TPU_INT8_MLP_LN_BUDGET",
+                                vmem_limit() * 7 // 8))
+    m_pad0 = -(-m // 32) * 32
+    w_bytes = 2 * d * hdim  # fc1 + fc2, int8
+    alt = (-(-m_pad0 // min(block_m, m_pad0)) * w_bytes
+           + 3 * m_pad0 * d)
+    force = bool(os.environ.get("TAE_TPU_INT8_MLP_LN_FORCE"))
+    cands = [min(c, m_pad0) for c in (block_m, 448, 384, 320, 256)]
+    # pad-free candidates first (a non-dividing bm materializes a full
+    # (M, D) pad + slice pair around the kernel; see _ln_chain_plan).
+    # NB the reorder breaks the descending-bm order, so a candidate
+    # failing the traffic bound must not end the scan — a larger bm
+    # later in the list can still pass (e.g. m_pad0=2816: pad-free 256
+    # restreams 11x and loses, but 512 restreams 6x and wins).
+    for bm_c in ([c for c in cands if m_pad0 % c == 0]
+                 + [c for c in cands if m_pad0 % c != 0]):
+        if not force and -(-m_pad0 // bm_c) * w_bytes > alt:
+            continue  # this bm restreams more than unchained + ln_quant
+        est = (14 * bm_c * d + 4 * d * bh + 1024 * bm_c
+               + 128 * (bh + d) + 8 * bm_c * d + 2 * 128 * d)
+        if force or est <= budget:
+            return bm_c
+    return None
+
+
 def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
              w1_q: jnp.ndarray, w1_scale: jnp.ndarray, b1: jnp.ndarray,
              w2_q: jnp.ndarray, w2_scale: jnp.ndarray, b2: jnp.ndarray,
@@ -215,39 +261,7 @@ def int8_mlp(xq: jnp.ndarray, sx: jnp.ndarray,
     bh = _lane_block(hdim, block_h)
     want_ln = ln_next is not None
     if ln_next is not None:
-        # The chained epilogue adds an s8 (bm, d) + (bm, 1) output pair plus
-        # LN temporaries. Never accept estimates right AT the scoped limit:
-        # the boundary is graph-dependent — at the historical 16M limit the
-        # p16 bm-512 chained estimate landed on exactly 16.00M and compiled
-        # in the bench/encode graphs, yet Mosaic allocated 17.43M for the
-        # same kernel spec inside a batch-64 serving graph with a float
-        # pred head (caught by a real-TPU drive; the Mosaic footprint
-        # varies ~4% with surrounding layout constraints). So: accept only
-        # under a margined budget, and when the default bm busts it try
-        # smaller m-blocks — but only while the chained kernel's estimated
-        # weight traffic (fc1+fc2 restream once per m-block) still beats
-        # the unchained kernel plus the standalone ln_quant pass it
-        # replaces (read (M, D) bf16 + write s8 + scales ~ 3 bytes/elem);
-        # otherwise fall back (caller runs ln_quant).
-        budget = int(os.environ.get("TAE_TPU_INT8_MLP_LN_BUDGET",
-                                    vmem_limit() * 7 // 8))
-        m_pad0 = -(-m // 32) * 32
-        w_bytes = 2 * d * hdim  # fc1 + fc2, int8
-        alt = (-(-m_pad0 // min(block_m, m_pad0)) * w_bytes
-               + 3 * m_pad0 * d)
-        chosen = None
-        cands = [min(c, m_pad0) for c in (block_m, 448, 384, 320, 256)]
-        # pad-free candidates first (a non-dividing bm materializes a full
-        # (M, D) pad + slice pair around the kernel; see _ln_chain_plan)
-        for bm_c in ([c for c in cands if m_pad0 % c == 0]
-                     + [c for c in cands if m_pad0 % c != 0]):
-            if -(-m_pad0 // bm_c) * w_bytes > alt:
-                break  # smaller blocks only restream more; fall back
-            est = (14 * bm_c * d + 4 * d * bh + 1024 * bm_c
-                   + 128 * (bh + d) + 8 * bm_c * d + 2 * 128 * d)
-            if est <= budget or os.environ.get("TAE_TPU_INT8_MLP_LN_FORCE"):
-                chosen = bm_c
-                break
+        chosen = _ln_chain_bm(m, d, hdim, block_m, bh)
         if chosen is None:
             ln_next = None
         else:

@@ -210,3 +210,24 @@ class DeviceMetricRing:
                for pit, row in zip(self._its, vals)]
         self._its.clear()
         return out
+
+    def consume(self, drained, on_row, abort_key: str = "loss") -> None:
+        """Apply the shared drain protocol to ``push()``/``drain()`` output.
+
+        Exits the process on a non-finite ``abort_key`` value (the
+        reference's per-step finiteness abort, train.py:141-143, deferred
+        here by at most ``window`` steps), then hands each exact
+        ``(iteration, values)`` row to ``on_row`` in iteration order. All
+        trainers share this protocol; only their ``on_row`` logging
+        differs. Call once more with ``drain()`` after the loop so rows
+        buffered when the data iterator ends early are not lost.
+        """
+        import math
+        import sys
+
+        for pit, vals in drained:
+            v = vals.get(abort_key)
+            if v is not None and not math.isfinite(v):
+                print(f"Loss is {v}, stopping training", flush=True)
+                sys.exit(1)
+            on_row(pit, vals)

@@ -945,3 +945,42 @@ def test_plan_blocks_traffic_and_vmem():
         m_pad = -(-m // 32) * 32
         assert m_pad % bm == 0 or bm == m_pad
         assert n % bn == 0 and k % bk == 0
+
+
+def test_plan_blocks_explicit_budget_overrides_small_m_clamp(monkeypatch):
+    """TAE_TPU_I8_VMEM_BUDGET (or an explicit budget=) is a tuning override
+    and must reach the planner even in the m_pad <= 1024 regime, where a
+    default run keeps the r3-validated 14M clamp (r3s9 fix: the clamp used
+    to silently re-cap the override, so on-chip re-tuning runs measured the
+    14M plans while claiming 28M)."""
+    from tae_tpu.ops.int8 import _plan_blocks
+
+    default_plan = _plan_blocks(1024, 2560, 7680)
+    arg_plan = _plan_blocks(1024, 2560, 7680, budget=28 << 20)
+    monkeypatch.setenv("TAE_TPU_I8_VMEM_BUDGET", str(28 << 20))
+    env_plan = _plan_blocks(1024, 2560, 7680)
+    monkeypatch.delenv("TAE_TPU_I8_VMEM_BUDGET")
+
+    assert env_plan == arg_plan
+    # the 28M budget admits a lower-traffic plan the 14M clamp rejects
+    assert arg_plan != default_plan, (arg_plan, default_plan)
+    bm, bn, bk = arg_plan
+    vm = 3 * bm * bk + 2 * bk * bn + 4 * bm * bn + 2 * 2 * bm * bn
+    assert vm > 14 << 20
+
+
+def test_ln_chain_bm_scans_past_failing_pad_free_candidate(monkeypatch):
+    """The pad-free-first reorder breaks descending-bm order, so a small
+    pad-free candidate failing the traffic bound must not abandon the chain
+    (r3s9 fix: the loop `break`-ed there). m=2816 (batch 11 x 256 tokens):
+    pad-free 256 restreams the weights 11x and loses to unchained+ln_quant,
+    but 512 restreams 6x and wins — the chain must pick it."""
+    from tae_tpu.ops.pallas.int8_block import _ln_chain_bm
+
+    assert _ln_chain_bm(2816, 1024, 4096, 512, 1024) == 512
+    # and the FORCE knob bypasses both bounds instead of being dead code
+    # behind the traffic break
+    monkeypatch.setenv("TAE_TPU_INT8_MLP_LN_BUDGET", "1024")
+    assert _ln_chain_bm(2816, 1024, 4096, 512, 1024) is None
+    monkeypatch.setenv("TAE_TPU_INT8_MLP_LN_FORCE", "1")
+    assert _ln_chain_bm(2816, 1024, 4096, 512, 1024) is not None

@@ -219,6 +219,28 @@ def test_device_metric_ring():
         assert vals == {"loss": pytest.approx(p * 1.5), "lr": pytest.approx(p)}
 
 
+def test_device_metric_ring_consume_protocol():
+    """ring.consume is the shared drain protocol all four trainer CLIs use:
+    rows reach on_row in iteration order, and a non-finite loss exits the
+    process (the reference's per-step abort, train.py:141-143, deferred by
+    at most one window)."""
+    from tae_tpu.utils.meters import DeviceMetricRing
+
+    ring = DeviceMetricRing(("loss",), window=2)
+    rows = []
+    ring.consume(ring.push(0, {"loss": jnp.float32(0.5)}),
+                 lambda pit, vals: rows.append((pit, vals["loss"])))
+    ring.consume(ring.push(1, {"loss": jnp.float32(1.5)}),
+                 lambda pit, vals: rows.append((pit, vals["loss"])))
+    assert rows == [(0, pytest.approx(0.5)), (1, pytest.approx(1.5))]
+
+    ring.push(2, {"loss": jnp.float32(float("nan"))})
+    with pytest.raises(SystemExit) as e:
+        ring.consume(ring.drain(), lambda *_: rows.append("unreachable"))
+    assert e.value.code == 1
+    assert "unreachable" not in rows
+
+
 def test_log_every_and_profiling(tmp_path, capsys):
     from tae_tpu.utils.meters import MetricLogger
     from tae_tpu.utils import profiling
