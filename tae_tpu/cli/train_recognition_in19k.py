@@ -58,8 +58,9 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_its", type=int, default=1000001)
     p.add_argument("--train_data_path", default="", type=str)
     p.add_argument("--latents_path", default="", type=str,
-                   help="train from pre-encoded latent shards (encode CLI "
-                        "output index) instead of images+frozen encoder")
+                   help="train from pre-encoded latents instead of "
+                        "images+frozen encoder: encode CLI output dir/index, "
+                        "or a reference-format {latents,targets} .pth dump")
     p.add_argument("--num_workers", default=16, type=int)
     p.add_argument("--device_normalize", action="store_true",
                    help="ship uint8 pixels and normalize on device (4x "

@@ -6,6 +6,13 @@ for training downstream heads directly from pre-encoded dumps — the workflow
 the reference's encode.py output implies (reference encode.py:99-100) but
 never wires up (its recognition drivers re-encode every batch). Training
 from latents skips the frozen-encoder forward entirely.
+
+Also accepts the reference's own dump format for drop-in migration: a
+single ``.pth``/``.pt`` file holding ``{"latents": Tensor, "targets":
+Tensor}`` (written by reference encode.py:99-100). Loaded once into host
+RAM — the reference format is monolithic by design (its encode job asks
+for 750 GB RAM, reference scripts/encode.sh:7); re-encode with
+``tae_tpu.cli.encode`` to get streamable shards.
 """
 
 from __future__ import annotations
@@ -26,6 +33,23 @@ class LatentDataset:
                 raise FileNotFoundError(f"no *_index.json under {index_path}")
             index_path = matches[0]
         self.dir = index_path.parent
+        self._arrays = None
+        if index_path.suffix in (".pth", ".pt"):
+            # reference encode.py:99-100 monolithic dump
+            import torch
+
+            blob = torch.load(index_path, map_location="cpu",
+                              weights_only=True)
+            z = blob["latents"].to(torch.float32).numpy()
+            t = blob["targets"].numpy().reshape(-1)
+            if len(z) != len(t):
+                raise ValueError(
+                    f"{index_path}: latents ({len(z)}) / targets ({len(t)}) "
+                    f"length mismatch")
+            self._arrays = (z, t)
+            self.shards = [{"path": str(index_path), "num_samples": len(z)}]
+            self.num_samples = len(z)
+            return
         index = json.loads(index_path.read_text())
         self.shards = index["shards"]
         self.num_samples = index["num_samples"]
@@ -39,6 +63,18 @@ class LatentDataset:
         """Stream samples from this worker's shard subset; ``loop=True``
         reshuffles shard order each pass (training mode)."""
         rng = np.random.default_rng(seed)
+        if self._arrays is not None:
+            # monolithic .pth: workers stride over samples instead of shards
+            z, t = self._arrays
+            mine = np.arange(shard_index, len(z), shard_count)
+            if mine.size == 0:
+                mine = np.arange(len(z))
+            while True:
+                order = rng.permutation(mine) if loop else mine
+                for i in order:
+                    yield z[int(i)].astype(np.float32), np.int64(t[int(i)])
+                if not loop:
+                    return
         my_shards = self.shards[shard_index::shard_count] or self.shards
         while True:
             order = rng.permutation(len(my_shards)) if loop else range(len(my_shards))

@@ -106,6 +106,31 @@ def test_latent_dataset_roundtrip(tmp_path):
     assert np.isfinite(rec["train_loss"])
 
 
+def test_latent_dataset_reads_reference_pth(tmp_path):
+    """Drop-in migration: the reference encode.py:99-100 monolithic
+    {latents, targets} .pth dump streams through LatentDataset."""
+    import torch
+
+    from tae_tpu.data.latents import LatentDataset
+
+    z = torch.arange(24 * 16 * 16, dtype=torch.bfloat16).reshape(24, 16, 16)
+    t = torch.arange(24, dtype=torch.int64)
+    torch.save({"latents": z, "targets": t}, tmp_path / "latents.pth")
+
+    ds = LatentDataset(tmp_path / "latents.pth")
+    assert len(ds) == 24
+    a, ta = next(ds.iter_samples())
+    assert a.shape == (16, 16) and a.dtype == np.float32 and ta == 0
+    # two workers stride the samples disjointly and cover everything
+    seen = [tb for w in range(2)
+            for _, tb in ds.iter_samples(shard_index=w, shard_count=2)]
+    assert sorted(int(x) for x in seen) == list(range(24))
+    # loop=True reshuffles and keeps yielding
+    it = ds.iter_samples(loop=True, seed=3)
+    first_pass = [int(next(it)[1]) for _ in range(25)]
+    assert sorted(first_pass[:24]) == list(range(24))
+
+
 def test_int8_quantized_encode_close_to_fp():
     from tae_tpu.ops.int8 import int8_linear, quantize_params, quantize_weight
 
