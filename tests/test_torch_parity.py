@@ -151,6 +151,53 @@ def test_segmentation_parity():
                                atol=ATOL, rtol=1e-4)
 
 
+def test_torch_export_strict_roundtrip(tae_pair):
+    """Export is the exact inverse of import: the emitted state_dict loads
+    into the reference TAE with strict=True and is bit-identical to the
+    original torch weights (fp32 transposes/stacks are exact)."""
+    from tae_tpu.ckpt.torch_export import tae_state_dict
+
+    ref, ours, params = tae_pair
+    sd = tae_state_dict(params, ours.cfg)
+    ref2 = ref_tae.TAE(img_size=64, patch_size=16, embed_dim=64, vocab_size=16,
+                       depth=2, num_heads=4, decoder_embed_dim=48,
+                       decoder_depth=2, decoder_num_heads=4, mlp_ratio=4,
+                       norm_layer=LN6)
+    ref2.load_state_dict(sd, strict=True)  # raises on any key/shape mismatch
+    orig = ref.state_dict()
+    assert set(sd) == set(orig)
+    for k, v in orig.items():
+        assert torch.equal(sd[k], v), f"export mismatch at {k}"
+
+
+def test_torch_export_recognition_segmentation_strict():
+    """Recognition/segmentation exports strict-load into the reference."""
+    from tae_tpu.ckpt.torch_export import (recognition_state_dict,
+                                           segmentation_state_dict)
+
+    torch.manual_seed(3)
+    ref_r = ref_tae.VITForRecognition(num_patches=16, vocab_size=32,
+                                      decoder_embed_dim=48, decoder_depth=2,
+                                      decoder_num_heads=4, mlp_ratio=4,
+                                      norm_layer=LN6, num_classes=10)
+    cfg_r = RecognitionConfig(num_patches=16, vocab_size=32,
+                              decoder_embed_dim=48, decoder_depth=2,
+                              decoder_num_heads=4, num_classes=10)
+    p_r = recognition_params_from_torch(ref_r.state_dict(), cfg_r)
+    ref_r.load_state_dict(recognition_state_dict(p_r, cfg_r), strict=True)
+
+    ref_s = ref_tae.VITForSegmentation(num_patches=16, patch_size=16,
+                                       vocab_size=32, decoder_embed_dim=48,
+                                       decoder_depth=4, decoder_num_heads=4,
+                                       mlp_ratio=4, norm_layer=LN6,
+                                       num_classes=5)
+    cfg_s = SegmentationConfig(num_patches=16, patch_size=16, vocab_size=32,
+                               decoder_embed_dim=48, decoder_depth=4,
+                               decoder_num_heads=4, num_classes=5)
+    p_s = segmentation_params_from_torch(ref_s.state_dict(), cfg_s)
+    ref_s.load_state_dict(segmentation_state_dict(p_s, cfg_s), strict=True)
+
+
 @pytest.mark.parametrize("name", [
     "tae_patch16_vocab256_px256",
     "tae_patch32_vocab1024_px256",
