@@ -52,6 +52,10 @@ def get_args_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_prefix", default="", type=str)
     p.add_argument("--shard_size", default=65536, type=int,
                    help="samples per output shard")
+    p.add_argument("--pth_output", default="", type=str,
+                   help="additionally write the reference's monolithic "
+                        "{latents, targets} .pth (encode.py:93-100 format; "
+                        "loads the full dump into host RAM)")
     p.add_argument("--deterministic", action="store_true",
                    help="use the val transform instead of the reference's "
                         "train-style random crop")
@@ -320,6 +324,13 @@ def main(args) -> dict:
         zz, tt, nn = pending
         writer.add(np.asarray(zz)[:nn].astype(np.float16), tt)
     writer.close()
+    if args.pth_output:
+        from tae_tpu.data.latents import shards_to_pth
+
+        n_pth = shards_to_pth(
+            Path(args.output_dir) / f"{args.save_prefix}_index.json",
+            args.pth_output)
+        print(f"wrote {args.pth_output} ({n_pth} samples, reference format)")
     dt = time.time() - t0
     stats = {"num_samples": n_imgs, "seconds": dt,
              "images_per_sec": n_imgs / max(dt, 1e-9)}

@@ -24,6 +24,28 @@ from typing import Iterator
 import numpy as np
 
 
+def shards_to_pth(index_path: str | Path, out_path: str | Path) -> int:
+    """Concatenate encode-CLI ``.npz`` shards into the reference's monolithic
+    ``{latents, targets}`` ``.pth`` (reference encode.py:93-100 format), for
+    handing latent dumps back to PyTorch consumers. Loads everything into
+    host RAM — that is the reference format's own design (its encode job
+    requests 750 GB, reference scripts/encode.sh:7). Returns sample count."""
+    import torch
+
+    ds = LatentDataset(index_path)
+    if ds._arrays is not None:
+        raise ValueError("input is already a .pth dump")
+    zs, ts = [], []
+    for shard in ds.shards:
+        with np.load(ds.dir / shard["path"]) as data:
+            zs.append(data["latents"])
+            ts.append(data["targets"])
+    z = torch.from_numpy(np.ascontiguousarray(np.concatenate(zs, axis=0)))
+    t = torch.from_numpy(np.concatenate(ts, axis=0)).to(torch.int64)
+    torch.save({"latents": z, "targets": t}, out_path)
+    return int(t.shape[0])
+
+
 class LatentDataset:
     def __init__(self, index_path: str | Path):
         index_path = Path(index_path)

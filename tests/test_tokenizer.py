@@ -80,13 +80,23 @@ def test_latent_dataset_roundtrip(tmp_path):
         "--input_size", "64", "--batch_size", "8", "--num_workers", "0",
         "--shard_size", "10", "--num_iters", "100",
         "--data_path", str(tmp_path / "d-000000.tar"),
-        "--output_dir", str(enc_out), "--save_prefix", "tok"])
+        "--output_dir", str(enc_out), "--save_prefix", "tok",
+        "--pth_output", str(tmp_path / "dump.pth")])
     cli_encode.main(args)
 
     ds = LatentDataset(enc_out)
     assert len(ds) == 24
     z, t = next(ds.iter_samples())
     assert z.shape == (16, 16) and z.dtype == np.float32
+
+    # --pth_output wrote the reference's monolithic format (encode.py:93-100)
+    import torch
+
+    blob = torch.load(tmp_path / "dump.pth", weights_only=True)
+    assert blob["latents"].shape == (24, 16, 16)
+    assert blob["targets"].dtype == torch.int64
+    np.testing.assert_array_equal(blob["latents"][0].float().numpy(),
+                                  z.astype(np.float32))
 
     out = tmp_path / "cls"
     out.mkdir()
