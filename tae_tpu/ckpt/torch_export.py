@@ -48,6 +48,9 @@ def _stacked_blocks(out: dict, prefix: str, blocks: Params) -> None:
         b = f"{prefix}.{i}"
         _layer_norm(out, f"{b}.norm1", layer["norm1"])
         _linear(out, f"{b}.attn.qkv", layer["attn"]["qkv"])
+        if "q_norm" in layer["attn"]:  # qk_norm=True (reference tae.py:68-69)
+            _layer_norm(out, f"{b}.attn.q_norm", layer["attn"]["q_norm"])
+            _layer_norm(out, f"{b}.attn.k_norm", layer["attn"]["k_norm"])
         _linear(out, f"{b}.attn.proj", layer["attn"]["proj"])
         _layer_norm(out, f"{b}.norm2", layer["norm2"])
         _linear(out, f"{b}.mlp.fc1", layer["mlp"]["fc1"])

@@ -47,12 +47,16 @@ def _stacked_blocks(sd: Mapping[str, Any], prefix: str, depth: int) -> Params:
     layers = []
     for i in range(depth):
         b = f"{prefix}.{i}"
+        attn: Params = {
+            "qkv": _linear(sd, f"{b}.attn.qkv"),
+            "proj": _linear(sd, f"{b}.attn.proj"),
+        }
+        if f"{b}.attn.q_norm.weight" in sd:  # qk_norm=True (tae.py:68-69)
+            attn["q_norm"] = _layer_norm(sd, f"{b}.attn.q_norm")
+            attn["k_norm"] = _layer_norm(sd, f"{b}.attn.k_norm")
         layers.append({
             "norm1": _layer_norm(sd, f"{b}.norm1"),
-            "attn": {
-                "qkv": _linear(sd, f"{b}.attn.qkv"),
-                "proj": _linear(sd, f"{b}.attn.proj"),
-            },
+            "attn": attn,
             "norm2": _layer_norm(sd, f"{b}.norm2"),
             "mlp": {
                 "fc1": _linear(sd, f"{b}.mlp.fc1"),

@@ -170,6 +170,26 @@ def test_torch_export_strict_roundtrip(tae_pair):
         assert torch.equal(sd[k], v), f"export mismatch at {k}"
 
 
+def test_qk_norm_block_import_export_roundtrip():
+    """qk_norm=True blocks (reference tae.py:68-69) survive the checkpoint
+    bridge in both directions (no registered config enables it; vit-level
+    robustness)."""
+    from tae_tpu.ckpt import torch_export as te
+    from tae_tpu.ckpt import torch_import as ti
+
+    torch.manual_seed(4)
+    blk = ref_tae.Block(dim=16, num_heads=4, qkv_bias=True, qk_norm=True,
+                        norm_layer=LN6)
+    sd = {f"blocks.0.{k}": v for k, v in blk.state_dict().items()}
+    tree = ti._stacked_blocks(sd, "blocks", 1)
+    assert "q_norm" in tree["attn"] and "k_norm" in tree["attn"]
+    out: dict = {}
+    te._stacked_blocks(out, "blocks", tree)
+    assert set(out) == set(sd)
+    for k, v in sd.items():
+        assert torch.equal(out[k], v), k
+
+
 def test_torch_export_recognition_segmentation_strict():
     """Recognition/segmentation exports strict-load into the reference."""
     from tae_tpu.ckpt.torch_export import (recognition_state_dict,
