@@ -177,6 +177,79 @@ def make_structured_wds_shard(path: str | Path, num_samples: int = 1000,
     return path
 
 
+def _spectral_image(rng: np.random.Generator, size: int,
+                    alpha: float = 1.0) -> np.ndarray:
+    """A power-law (1/f^alpha) random field — the high-information-rate
+    convergence fixture.
+
+    The structured corpus (:func:`_structured_image`) is *too* compressible
+    for bottleneck-width sweeps: 16 latent dims per 16x16 patch already
+    capture it, so tae_patch16_vocab{16,64,256} all track the same eval
+    curve (measured, docs/CONVERGENCE.md). These images carry a natural-
+    image-like power spectrum with substantial energy at mid/high spatial
+    frequencies, so per-patch intrinsic dimensionality is in the hundreds
+    and the reconstruction floor strictly improves with bottleneck width —
+    the regime where the reference's published eval-MSE-vs-vocab ordering
+    (reference outputs/, SURVEY.md §6) can emerge at short horizons.
+    Channels are mixed for realistic cross-channel correlation."""
+    fy = np.fft.fftfreq(size)[:, None]
+    fx = np.fft.rfftfreq(size)[None, :]
+    radius = np.sqrt(fx * fx + fy * fy)
+    filt = (radius + 1.0 / size) ** (-alpha)
+    spec = np.fft.rfft2(rng.standard_normal((3, size, size))) * filt
+    x = np.fft.irfft2(spec, s=(size, size))
+    mix = np.eye(3, dtype=np.float64) + 0.6 * rng.standard_normal((3, 3))
+    x = np.einsum("ij,jhw->ihw", mix, x)
+    x -= x.mean(axis=(1, 2), keepdims=True)
+    x /= x.std(axis=(1, 2), keepdims=True) + 1e-9
+    img = 127.0 + 52.0 * x
+    return np.clip(img, 0, 255).astype(np.uint8).transpose(1, 2, 0)
+
+
+def make_spectral_wds_shard(path: str | Path, num_samples: int = 1000,
+                            size: int = 288, num_classes: int = 1000,
+                            seed: int = 0, alpha: float = 1.0,
+                            quality: int = 95) -> Path:
+    """wds shard of :func:`_spectral_image` samples (quality 95: the point
+    is high-frequency content; don't let JPEG eat it)."""
+    import io as _io
+
+    from PIL import Image
+
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    with tarfile.open(path, "w") as tf:
+        for i in range(num_samples):
+            key = f"{i:06d}"
+            buf = _io.BytesIO()
+            Image.fromarray(_spectral_image(rng, size, alpha), "RGB").save(
+                buf, format="JPEG", quality=quality)
+            jpg = buf.getvalue()
+            cls = str(int(rng.integers(0, num_classes))).encode()
+            for ext, data in (("jpg", jpg), ("cls", cls)):
+                info = tarfile.TarInfo(f"{key}.{ext}")
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+    return path
+
+
+def make_spectral_imagefolder(root: str | Path, num_images: int = 512,
+                              size: int = 288, seed: int = 10_000,
+                              alpha: float = 1.0) -> Path:
+    """Spectral-image val set (single class dir; eval only needs images)."""
+    from PIL import Image
+
+    root = Path(root)
+    d = root / "class_000"
+    d.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(num_images):
+        Image.fromarray(_spectral_image(rng, size, alpha), "RGB").save(
+            d / f"img_{i:05d}.jpg", quality=95)
+    return root
+
+
 def make_classification_wds_shard(path: str | Path, num_samples: int = 500,
                                   size: int = 288, num_classes: int = 20,
                                   seed: int = 0, quality: int = 90) -> Path:
