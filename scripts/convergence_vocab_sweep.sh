@@ -1,4 +1,9 @@
 #!/bin/bash
+# SUPERSEDED for width-ordering claims by convergence_spectral_sweep.sh:
+# on this structured corpus the bottleneck never binds (16 PCA components
+# already reach floor 0.0067/elem — scripts/spectral_floor_probe.py), so
+# vocab16/64 track the same eval curve (docs/CONVERGENCE.md attempt 1).
+#
 # Vocab-width convergence sweep (r3 session 9): train the other two
 # p16 configs — tae_patch16_vocab{64,256}_px256 — on the SAME structured
 # synthetic corpus (identical fixture seeds) and regime as the r3
