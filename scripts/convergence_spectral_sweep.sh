@@ -41,7 +41,7 @@ for V in "${VOCABS[@]}"; do
     --batch_size_per_gpu 64 --accum_iter 4 \
     --max_lr 1e-4 --min_lr 1e-5 --weight_decay 0.0 \
     --num_its "$NUM_ITS" --save_freq "$SAVE_FREQ" --log_freq 50 \
-    --num_workers 1 --device_normalize --remat \
+    --num_workers 1 --device_normalize --remat --display \
     --resume_auto
   echo "SWEEP: vocab${V} exited with $?"
 done
