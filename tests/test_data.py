@@ -476,3 +476,35 @@ def test_classification_shard_labels_are_learnable(tmp_path):
     dists = [np.linalg.norm(means[a] - means[b])
              for a in means for b in means if a < b]
     assert min(dists) > 2 * spread, (min(dists), spread)
+
+
+def test_spectral_fixture_width_binding(tmp_path):
+    """_spectral_image must keep per-patch intrinsic dimensionality high —
+    the property the width-sweep corpus exists for (docs/CONVERGENCE.md):
+    the optimal linear coding floor at 16 PCA components has to stay far
+    above the structured corpus's, else bottleneck width cannot separate."""
+    from tae_tpu.data.fake import _spectral_image, _structured_image
+
+    def floor16(gen, n=6, p=16):
+        pats = []
+        for _ in range(n):
+            x = gen().astype(np.float32) / 255.0
+            h = (x.shape[0] // p) * p
+            x = x[:h, :h].reshape(h // p, p, h // p, p, 3)
+            pats.append(x.transpose(0, 2, 4, 1, 3).reshape(-1, 3 * p * p))
+        z = np.concatenate(pats)
+        z -= z.mean(0, keepdims=True)
+        ev = np.linalg.eigvalsh((z.T @ z) / len(z))[::-1]
+        return float(ev[16:].sum() / z.shape[1])
+
+    rng = np.random.default_rng(0)
+    img = _spectral_image(rng, 128)
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+    # deterministic for a fixed seed
+    img2 = _spectral_image(np.random.default_rng(0), 128)
+    np.testing.assert_array_equal(img, img2)
+
+    rng_a, rng_b = np.random.default_rng(1), np.random.default_rng(2)
+    f_spec = floor16(lambda: _spectral_image(rng_a, 128))
+    f_struct = floor16(lambda: _structured_image(rng_b, 128))
+    assert f_spec > 10 * f_struct, (f_spec, f_struct)
