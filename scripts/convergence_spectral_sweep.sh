@@ -44,5 +44,14 @@ for V in "${VOCABS[@]}"; do
     --num_workers 1 --device_normalize --remat --display \
     --resume_auto
   echo "SWEEP: vocab${V} exited with $?"
+  # Untracked files do not survive rig swaps (r3 session 10 lost a full
+  # run this way) — persist the JSONL log into git as soon as each vocab
+  # finishes so the evidence is durable even if the sweep is cut short.
+  LOG="/root/repo/.convergence/out_spec_vocab${V}/conv_log.txt"
+  if [ -f "$LOG" ]; then
+    cp "$LOG" "/root/repo/docs/logs/spectral_vocab${V}_log.txt"
+    git -C /root/repo add "docs/logs/spectral_vocab${V}_log.txt"
+    git -C /root/repo commit -m "Spectral sweep: vocab${V} training log" || true
+  fi
 done
 echo "SWEEP: DONE"
