@@ -19,10 +19,15 @@ import argparse
 import json
 from pathlib import Path
 
+# Live run dirs first, then the git-committed copies (the sweep script
+# snapshots each log into docs/logs/ — untracked .convergence/ does not
+# survive rig swaps).
 RUNS = {
-    16: "/root/repo/.convergence/out_spec_vocab16/conv_log.txt",
-    64: "/root/repo/.convergence/out_spec_vocab64/conv_log.txt",
-    256: "/root/repo/.convergence/out_spec_vocab256/conv_log.txt",
+    v: [
+        f"/root/repo/.convergence/out_spec_vocab{v}/conv_log.txt",
+        f"/root/repo/docs/logs/spectral_vocab{v}_log.txt",
+    ]
+    for v in (16, 64, 256)
 }
 
 REF_FINAL = {16: 0.04702, 64: 0.01717, 256: 0.00205}  # 750k iters, ImageNet
@@ -31,17 +36,20 @@ REF_FINAL = {16: 0.04702, 64: 0.01717, 256: 0.00205}  # 750k iters, ImageNet
 PCA_FLOOR = {16: 0.231, 64: 0.115, 256: 0.020}
 
 
-def parse_jsonl(path: str) -> list[tuple[int, float]]:
-    rows = []
-    p = Path(path)
-    if not p.exists():
-        return rows
-    for line in p.read_text().splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            d = json.loads(line)
-            rows.append((d["iteration"], d["eval_loss"]))
-    return rows
+def parse_jsonl(paths: list[str]) -> list[tuple[int, float]]:
+    for path in paths:
+        p = Path(path)
+        if not p.exists():
+            continue
+        rows = []
+        for line in p.read_text().splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                d = json.loads(line)
+                rows.append((d["iteration"], d["eval_loss"]))
+        if rows:
+            return rows
+    return []
 
 
 def main() -> None:
@@ -50,12 +58,12 @@ def main() -> None:
     args = ap.parse_args()
 
     series: dict[int, list[tuple[int, float]]] = {}
-    for vocab, path in RUNS.items():
-        pts = parse_jsonl(path)
+    for vocab, paths in RUNS.items():
+        pts = parse_jsonl(paths)
         if pts:
             series[vocab] = pts
         else:
-            print(f"NOTE: no eval rows yet for vocab{vocab} ({path})")
+            print(f"NOTE: no eval rows yet for vocab{vocab} ({paths[0]})")
 
     import matplotlib
 
