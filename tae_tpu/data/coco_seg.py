@@ -198,11 +198,12 @@ class CocoVocSegmentation:
         ids = sorted(self.images)
         if image_set == "train":
             # drop images without >1000 annotated px in VOC categories
-            # (reference coco_utils.py:63-81)
+            # (reference coco_utils.py:63-81; getAnnIds(iscrowd=None) there
+            # fetches ALL annotations, so crowd regions count toward the
+            # area threshold too)
             def valid(img_id: int) -> bool:
                 anns = [a for a in anns_by_img.get(img_id, [])
-                        if a.get("category_id") in COCO_TO_VOC
-                        and not a.get("iscrowd", 0)]
+                        if a.get("category_id") in COCO_TO_VOC]
                 return bool(anns) and sum(a.get("area", 0) for a in anns) > 1000
 
             ids = [i for i in ids if valid(i)]
@@ -217,8 +218,10 @@ class CocoVocSegmentation:
 
         info = self.images[self.ids[idx]]
         img = Image.open(self.img_dir / info["file_name"]).convert("RGB")
-        anns = [a for a in self.anns_by_img.get(self.ids[idx], [])
-                if not a.get("iscrowd", 0)]
+        # crowd annotations are merged like any other instance: the
+        # reference's v2 wrapper (v2_extras.py:51-76 via
+        # wrap_dataset_for_transforms_v2) does not filter iscrowd
+        anns = list(self.anns_by_img.get(self.ids[idx], []))
         mask = merge_instances_to_voc(anns, info["height"], info["width"])
         if self.transforms is not None:
             return self.transforms(img, mask)

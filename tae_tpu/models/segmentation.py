@@ -78,7 +78,14 @@ class SegmentationViT:
 
     def forward(self, params: Params, z: jnp.ndarray, *,
                 policy: Policy = DEFAULT, backend: str | None = None,
-                remat: bool = False) -> dict[str, jnp.ndarray]:
+                remat: bool = False, mesh=None) -> dict[str, jnp.ndarray]:
+        """``mesh``: when training sharded, pass the device mesh so the
+        head outputs and dense maps are pinned to batch sharding on both
+        sides of the dim-mixing unpatchify reshape — otherwise GSPMD
+        resolves the backward's sharding conflict with an involuntary full
+        rematerialization (see parallel.sharding.constrain_batch)."""
+        from tae_tpu.parallel.sharding import constrain_batch
+
         c = self.cfg
         p = policy.cast_to_compute(params)
         x = z.astype(policy.compute_dtype)
@@ -90,7 +97,8 @@ class SegmentationViT:
                              c.block, backend=backend, remat=remat)
         aux = vit.linear_apply(p["aux_head"],
                                vit.layer_norm_apply(p["aux_norm"], x, c.ln_eps))
-        aux = unpatchify(aux, c.patch_size, c.num_classes)
+        aux = constrain_batch(aux, mesh)
+        aux = constrain_batch(unpatchify(aux, c.patch_size, c.num_classes), mesh)
 
         # remaining blocks, main head
         x = vit.blocks_apply(_slice_blocks(p["blocks"], c.aux_depth,
@@ -98,7 +106,8 @@ class SegmentationViT:
                              c.block, backend=backend, remat=remat)
         x = vit.layer_norm_apply(p["norm"], x, c.ln_eps)
         out = vit.linear_apply(p["head"], x)
-        out = unpatchify(out, c.patch_size, c.num_classes)
+        out = constrain_batch(out, mesh)
+        out = constrain_batch(unpatchify(out, c.patch_size, c.num_classes), mesh)
 
         return {"out": policy.cast_to_output(out), "aux": policy.cast_to_output(aux)}
 

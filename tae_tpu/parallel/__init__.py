@@ -5,6 +5,7 @@ from tae_tpu.parallel.mesh import (  # noqa: F401
 )
 from tae_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    constrain_batch,
     param_shardings,
     shard_params,
 )

@@ -111,3 +111,26 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def constrain_batch(x, mesh: Mesh | None):
+    """Pin an activation to batch-only sharding (leading dim over
+    (data, fsdp), everything else replicated) inside a jitted program.
+
+    GSPMD propagates shardings through elementwise/matmul ops well, but
+    dim-mixing reshapes (unpatchify and its transpose in the backward) can
+    end up with conflicting source/target shardings, which the partitioner
+    resolves by an "involuntary full rematerialization" — a full all-gather
+    + re-slice per step (observed on the segmentation train step's jvp
+    transpose, spmd_partitioner.cc:652). Constraining both sides of the
+    reshape to the batch sharding keeps the backward collective-free, like
+    the reference's DDP which only communicates bucketed gradients
+    (reference train.py:102).
+
+    No-op when ``mesh`` is None or single-device, so unsharded callers
+    (tests, single-chip serving) are unaffected.
+    """
+    if mesh is None or mesh.devices.size == 1:
+        return x
+    spec = P(("data", "fsdp"), *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

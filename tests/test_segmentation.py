@@ -168,6 +168,30 @@ def test_train_filter_drops_small_annotations(tmp_path):
     assert len(CocoVocSegmentation(root, "train")) == 2
 
 
+def test_crowd_annotations_included(tmp_path):
+    """Crowds count toward the train area filter (reference
+    coco_utils.py:73 ``getAnnIds(iscrowd=None)`` fetches all annotations)
+    and merge into the target like any instance (v2_extras.py:51-76 —
+    the v2 wrapper never filters iscrowd)."""
+    root = make_fake_coco(tmp_path / "c", n_train=2, n_val=1, size=64)
+    ann_file = root / "annotations" / "instances_train2017.json"
+    data = json.loads(ann_file.read_text())
+    # image 1's only annotation becomes a crowd region: uncompressed RLE
+    # covering columns 0..9 (column-major counts: 0 zeros, 640 ones, rest)
+    data["annotations"] = [a for a in data["annotations"]
+                           if a["image_id"] != 1] + [{
+        "id": 99, "image_id": 1, "category_id": 1,  # person -> VOC 15
+        "segmentation": {"counts": [0, 640, 64 * 64 - 640], "size": [64, 64]},
+        "area": 640.0 * 3, "iscrowd": 1, "bbox": [0, 0, 10, 64]}]
+    ann_file.write_text(json.dumps(data))
+    ds = CocoVocSegmentation(root, "train")
+    assert len(ds) == 2  # crowd area kept image 1 above the >1000px rule
+    idx = ds.ids.index(1)
+    _, mask = ds[idx]
+    assert (mask[:, :10] == COCO_TO_VOC[1]).all()  # crowd merged into target
+    assert (mask[:, 10:] == 0).all()
+
+
 def test_seg_transforms(coco_root):
     ds = CocoVocSegmentation(coco_root, "train")
     img, mask = ds[0]
