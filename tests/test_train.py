@@ -143,6 +143,44 @@ def test_param_sharding_rules_respect_divisibility():
     assert len(spec) == 0 or spec[-1] is None
 
 
+def test_fsdp_placement_matches_scaling_md():
+    """Placement-level scaling audit (docs/SCALING.md §"Training memory
+    math"): build the real p32/p64/p128 param trees *abstractly* via
+    eval_shape, apply param_shardings, and assert the per-device fp32-Adam
+    train-state footprint (16 bytes/param = 4x the fp32 param tree; params
+    + grads + two moments all carry the param sharding) matches the table's
+    ``16·P / fsdp`` recipe within 5% — i.e. the fallback-to-replication
+    rules lose almost nothing at scale, without allocating multi-GB trees."""
+    from tae_tpu import models
+
+    GB = 1024 ** 3
+    cases = [  # (config, fsdp, params P, SCALING.md per-device GB at 16·P/fsdp)
+        ("tae_patch32_vocab1024_px256", 4, 1.83e9),
+        ("tae_patch64_vocab4096_px256", 4, 3.37e9),
+        ("tae_patch128_vocab4096_px256", 8, 3.72e9),
+    ]
+    for name, fsdp, p_expected in cases:
+        model = models.create(name)
+        shapes = jax.eval_shape(model.init, jax.random.key(0))
+        leaves = jax.tree.leaves(shapes)
+        p_actual = sum(int(np.prod(l.shape)) for l in leaves)
+        # the param counts behind the table (tested vs torch meta-device
+        # elsewhere) — 2% slack for the docs' rounding
+        assert abs(p_actual - p_expected) / p_expected < 0.02, (name, p_actual)
+
+        mesh = make_mesh(data=8 // fsdp, fsdp=fsdp, tensor=1)
+        shardings = param_shardings(shapes, mesh)
+        per_dev = sum(
+            int(np.prod(s.shard_shape(l.shape))) * 4
+            for l, s in zip(leaves, jax.tree.leaves(shardings)))
+        state_per_dev = 4 * per_dev  # params + grads + mu + nu, all fp32
+        predicted = 16 * p_actual / fsdp
+        ratio = state_per_dev / predicted
+        assert 1.0 <= ratio < 1.05, (
+            f"{name}: {state_per_dev / GB:.2f} GB/device vs SCALING.md "
+            f"{predicted / GB:.2f} (ratio {ratio:.3f})")
+
+
 def test_dynamic_loss_scale():
     from tae_tpu.train.scaler import DynamicLossScale, ScalerState
 
