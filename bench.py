@@ -263,9 +263,26 @@ def bench_train_recognition(batch: int = 64, steps: int = 6) -> float:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config-name substrings: run just "
+                         "the matching encode configs and skip the train "
+                         "benches (drift investigation / quick re-measure); "
+                         "default runs everything")
+    args = ap.parse_args()
+    selected = ENCODE_CONFIGS
+    if args.only:
+        keys = [k.strip() for k in args.only.split(",") if k.strip()]
+        selected = [c for c in ENCODE_CONFIGS
+                    if any(k in c[0] for k in keys)]
+        if not selected:
+            raise SystemExit(f"--only {args.only!r} matches no config")
+
     detail: dict[str, float] = {}
     bands: dict[str, list[float]] = {}
-    for name, model_name, batch, mode, patchin in ENCODE_CONFIGS:
+    for name, model_name, batch, mode, patchin in selected:
         value, band = bench_encode(name, model_name, batch, mode, patchin)
         detail[name] = round(value, 1)
         if band is not None:
@@ -274,18 +291,23 @@ def main() -> None:
                   f"{bands[name][0]}-{bands[name][1]})", flush=True)
         else:
             print(f"# {name}: {detail[name]} img/s", flush=True)
-    train_rate, train_mfu = bench_train()
-    detail["train_p16_fp32adam_mb64_remat"] = round(train_rate, 1)
-    detail["train_p16_mfu"] = round(train_mfu, 4)
-    print(f"# train_p16_fp32adam_mb64_remat: {detail['train_p16_fp32adam_mb64_remat']}"
-          f" img/s  MFU {train_mfu:.3f}", flush=True)
-    detail["train_rec19k_int8enc_mb64"] = round(bench_train_recognition(), 1)
-    print(f"# train_rec19k_int8enc_mb64: "
-          f"{detail['train_rec19k_int8enc_mb64']} img/s", flush=True)
+    train_mfu = 0.0
+    if not args.only:
+        train_rate, train_mfu = bench_train()
+        detail["train_p16_fp32adam_mb64_remat"] = round(train_rate, 1)
+        detail["train_p16_mfu"] = round(train_mfu, 4)
+        print(f"# train_p16_fp32adam_mb64_remat: {detail['train_p16_fp32adam_mb64_remat']}"
+              f" img/s  MFU {train_mfu:.3f}", flush=True)
+        detail["train_rec19k_int8enc_mb64"] = round(bench_train_recognition(), 1)
+        print(f"# train_rec19k_int8enc_mb64: "
+              f"{detail['train_rec19k_int8enc_mb64']} img/s", flush=True)
 
     head_name, head = max(((k, v) for k, v in detail.items()
-                           if k.startswith("encode")), key=lambda kv: kv[1])
-    mode = "int8 w8a8" if "int8" in head_name else "bf16"
+                           if k.startswith("encode")),
+                          key=lambda kv: kv[1],
+                          default=next(iter(detail.items())))
+    mode = "int8 w8a8" if "int8" in head_name else (
+        "int4 w4a8" if "int4" in head_name else "bf16")
     out = {
         "metric": f"images/sec/chip encode px256 (best config: {head_name}, {mode})",
         "value": head,
