@@ -172,6 +172,28 @@ def test_mask_decode_cross_implementation():
             mask_native.decode_compressed_rle(s, h, w), mask)
 
 
+def test_mask_goldens_fixture():
+    """Asserts the numpy port against committed pycocotools-generated
+    fixtures (scripts/gen_coco_goldens.py, minted on a pycocotools-equipped
+    machine). Skips until the fixture is committed; the cross-impl test
+    above is the always-on substitute."""
+    import json as _json
+    from pathlib import Path
+
+    fix = Path(__file__).parent / "fixtures" / "coco_mask_goldens.npz"
+    if not fix.exists():
+        pytest.skip("no committed pycocotools fixture (scripts/gen_coco_goldens.py)")
+    data = np.load(fix)
+    h, w = (int(v) for v in data["size"])
+    polys = _json.loads(bytes(data["polys_json"]).decode())
+    for poly, ref in zip(polys, data["poly_masks"]):
+        np.testing.assert_array_equal(rasterize_polygons([poly], h, w), ref)
+    strings = _json.loads(bytes(data["rle_strings_json"]).decode())
+    for i, (s, (hh, ww)) in enumerate(zip(strings, data["rle_shapes"])):
+        np.testing.assert_array_equal(
+            decode_compressed_rle(s, int(hh), int(ww)), data[f"rle_mask_{i}"])
+
+
 def test_polygon_rasterization_goldens():
     """Hand-computed goldens of the rleFrPoly algorithm on tiny shapes
     (runs everywhere; guards the port when pycocotools is absent)."""
