@@ -80,11 +80,11 @@ def main() -> None:
     # boolean here once silently ran both probes on the bf16 path (the
     # A/B compared two identical programs; re-measured after the fix)
     p32 = ("tae_patch32_vocab1024_px256", 128, "int8", True)
-    rate = bench_encode("exp_p32_int8", *p32)
+    rate, _ = bench_encode("exp_p32_int8", *p32)
     print(f"RESULT encode_p32_int8_b128 (q8 default=off): {rate:.1f} img/s",
           flush=True)
     os.environ["TAE_TPU_PACKED_ATTN_Q8"] = "1"
-    rate = bench_encode("exp_p32_int8_q8", *p32)
+    rate, _ = bench_encode("exp_p32_int8_q8", *p32)
     print(f"RESULT encode_p32_int8_b128 (q8 forced on): {rate:.1f} img/s",
           flush=True)
     del os.environ["TAE_TPU_PACKED_ATTN_Q8"]

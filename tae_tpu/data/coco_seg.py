@@ -15,10 +15,13 @@ Re-creates the reference's segmentation data subsystem
     both RLE forms — uncompressed count lists and pycocotools' compressed
     LEB128 string encoding (decoded in numpy).
 
-Parity note: tests/test_segmentation.py carries a skip-if-unavailable test
-comparing all three decode paths against pycocotools output (bit-exact);
-this environment has no pycocotools, so the polygon path additionally pins
-hand-computed goldens of the same algorithm.
+Parity note: tests/test_segmentation.py asserts bit-exactness three ways —
+(a) directly against pycocotools where it is installed (skip-if-absent);
+(b) against committed pycocotools-generated fixtures
+(scripts/gen_coco_goldens.py) when those have been minted; and (c) always,
+against an independent scalar C++ implementation of the same maskApi
+arithmetic (native/maskapi.cpp via tae_tpu.data.mask_native) on randomized
+polygons/RLEs, plus hand-computed goldens on tiny shapes.
 """
 
 from __future__ import annotations
