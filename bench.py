@@ -20,6 +20,7 @@ K=1 run. The trip count is a traced argument so each config compiles ONCE
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -30,12 +31,72 @@ from tae_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache("/root/repo/.xla_cache")
 
 BASELINE_IMG_PER_SEC = 10_000.0
-K_LONG = 12
-# the headline (fastest) config runs a longer loop: per-iteration time is
-# ~17 ms there, so K=12 leaves the differenced measurement at the mercy of
-# relay jitter (observed 14.3-17.4k run-to-run) — K=48 amortizes it 4x for
-# +~1.5 s of bench wall time. The trip count is traced, so no extra compile.
-K_LONG_HEADLINE = 48
+# Every config runs K=48 timed loops: K=12 differencing was at the mercy of
+# relay jitter (r3s7 read serve_p64_int8_b8 at 1.62 ms/batch, below its
+# ~2.07 ms weight-DMA floor — physically impossible; r4's artifact read
+# encode_p64_int8 at -52% because a trainer shared the chip). The trip
+# count is traced, so the longer loop costs no extra compile — only
+# ~2-3 min of extra timed wall across the full sweep.
+K_LONG = 48
+
+# Plausibility bands (img/s) per config: [low, high] outside which a reading
+# is flagged as SANITY FAIL in the output. Lows are ~25% under the worst
+# documented day-band reading (docs/KERNELS.md / CLAUDE.md measured
+# history) — a reading below signals host/chip contention (the r4 artifact
+# was captured mid-training and nothing said so). Highs are ~15-20% above
+# the documented best; for the serve configs the high IS physical: the
+# weight-DMA floor (p64 int8 weights take ~2.07 ms/batch to stream; p128
+# int4 ~2.0 ms), so exceeding it means the measurement is broken, not fast.
+PLAUSIBLE = {
+    "encode_p16_bf16_b128": (1100, 1900),
+    "encode_p16_int8_b128": (1900, 3300),
+    "encode_p32_int8_b128": (1900, 3300),
+    "encode_p64_bf16_b128": (2300, 3800),
+    "encode_p64_int8_b128": (4200, 7000),
+    "encode_p128_bf16_b1024": (8000, 13000),
+    "encode_p128_int8_b256": (11000, 19000),
+    "serve_p64_int8_b8": (2100, 3870),
+    "serve_p128_int4_b1": (290, 520),
+    "train_p16_fp32adam_mb64_remat": (140, 240),
+    "train_rec19k_int8enc_mb64": (440, 740),
+}
+
+
+def detect_contention() -> list[str]:
+    """Return command lines of other live compute processes (trainers,
+    pytest, other bench/encode jobs) that would contend for the single
+    host core or the chip. The r4 BENCH artifact was captured while a
+    training run was live on the same chip and nothing flagged it
+    (VERDICT r4 weak #1) — now the artifact says so itself."""
+    hits = []
+    ancestors = set()
+    pid = os.getpid()
+    while pid > 1:
+        ancestors.add(pid)
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                pid = int(f.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+    needles = ("tae_tpu", "pytest", "bench", "dryrun", "__graft_entry__",
+               "convergence")
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) in ancestors:
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            continue
+        if "python" in cmd and any(n in cmd for n in needles):
+            hits.append(f"pid {entry}: {cmd.strip()[:160]}")
+    try:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 > 1.5 and not hits:
+            hits.append(f"loadavg {load1:.1f} on this host (no named culprit)")
+    except OSError:
+        pass
+    return hits
 
 # (name, model, batch, mode, patchin) — batch/config choices are the measured
 # optima on v5e (see CLAUDE.md / docs/KERNELS.md measured numbers).
@@ -51,7 +112,7 @@ ENCODE_CONFIGS = [
     ("encode_p64_bf16_b128", "tae_patch64_vocab4096_px256", 128, "bf16", False),
     ("encode_p64_int8_b128", "tae_patch64_vocab4096_px256", 128, "int8", True),
     ("encode_p128_bf16_b1024", "tae_patch128_vocab4096_px256", 1024, "bf16", True),
-    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, "int8", True),  # noqa: E501 — headline config, uses K_LONG_HEADLINE
+    ("encode_p128_int8_b256", "tae_patch128_vocab4096_px256", 256, "int8", True),  # noqa: E501 — headline config
     # small-batch serving latency regression guard (the bm-restream fix:
     # 15.0 -> 2.78 ms/batch); reported as img/s, latency = 8000/value ms
     ("serve_p64_int8_b8", "tae_patch64_vocab4096_px256", 8, "int8", True),
@@ -114,30 +175,18 @@ def bench_encode(name: str, model_name: str, batch: int, mode: str,
         out = jax.lax.fori_loop(0, k, body, imgs)
         return jnp.sum(out[0, 0, 0])
 
-    # K=48 where per-iter is ~2-20 ms: the headline loop and the small-batch
-    # serving guards. K=12 differencing there is at the mercy of relay
-    # jitter — the r3s7 run read serve_p64_int8_b8 at 1.62 ms/batch, below
-    # its ~2.07 ms weight-DMA floor, a physically impossible number.
-    k_long = (K_LONG_HEADLINE
-              if name in ("encode_p128_int8_b256", "serve_p128_int4_b1",
-                          "serve_p64_int8_b8")
-              else K_LONG)
+    # Every config: median of 5 independent K=48 measurements with the
+    # min/max band reported alongside (r3 weak #1 for the headline,
+    # extended to all configs per VERDICT r4 item 1 — a single best-of-3
+    # K=12 sample sat anywhere in a wide day band and occasionally read
+    # physically impossible numbers over the relay).
     float(run(params, imgs, jnp.int32(1)))  # compile once (k is traced)
     t1 = _timed_loop(model, policy, params, imgs, 1, run)
-    if name == "encode_p128_int8_b256":
-        # Headline number: median of 5 independent K=48 measurements with
-        # the min/max band reported alongside (VERDICT r3 weak #1 — a
-        # single best-of-3 sample sat anywhere in a 14.8-16.2k day band;
-        # the median over 5 samples pins the claim to ~±3%).
-        samples = [_time_once(run, params, imgs, k_long) for _ in range(5)]
-        rates = sorted(batch * (k_long - 1) / max(t - t1, 1e-9)
-                       for t in samples)
-        del params
-        return rates[len(rates) // 2], (rates[0], rates[-1])
-    tk = _timed_loop(model, policy, params, imgs, k_long, run)
-    per_iter = max(tk - t1, 1e-9) / (k_long - 1)
+    samples = [_time_once(run, params, imgs, K_LONG) for _ in range(5)]
+    rates = sorted(batch * (K_LONG - 1) / max(t - t1, 1e-9)
+                   for t in samples)
     del params
-    return batch / per_iter, None
+    return rates[len(rates) // 2], (rates[0], rates[-1])
 
 
 #: v5e bf16 peak (TFLOP/s) for MFU reporting.
@@ -262,6 +311,31 @@ def bench_train_recognition(batch: int = 64, steps: int = 6) -> float:
     return batch / best
 
 
+def _sanity(detail: dict[str, float]) -> dict[str, str]:
+    """Flag readings outside their plausibility band (see PLAUSIBLE)."""
+    fails = {}
+    for name, value in detail.items():
+        band = PLAUSIBLE.get(name)
+        if band and not (band[0] <= value <= band[1]):
+            fails[name] = f"{value} outside plausible [{band[0]}, {band[1]}]"
+            print(f"# SANITY FAIL {name}: {fails[name]}", flush=True)
+    return fails
+
+
+def _drift_vs(detail: dict[str, float], ref_path: str) -> dict[str, float]:
+    """Per-config % drift vs a prior BENCH artifact's detail block."""
+    try:
+        with open(ref_path) as f:
+            ref = json.load(f).get("detail", {})
+    except (OSError, ValueError):
+        return {}
+    drift = {}
+    for name, value in detail.items():
+        if name in ref and ref[name]:
+            drift[name] = round(100.0 * (value / ref[name] - 1.0), 1)
+    return drift
+
+
 def main() -> None:
     import argparse
 
@@ -270,8 +344,22 @@ def main() -> None:
                     help="comma-separated config-name substrings: run just "
                          "the matching encode configs and skip the train "
                          "benches (drift investigation / quick re-measure); "
-                         "default runs everything")
+                         "the JSON is tagged with the subset and carries no "
+                         "headline/vs_baseline, so a partial run can't be "
+                         "mistaken for a full-bench artifact")
+    ap.add_argument("--strict-idle", action="store_true",
+                    help="refuse to run if another compute process is live "
+                         "on this host (default: annotate and continue)")
     args = ap.parse_args()
+
+    contention = detect_contention()
+    if contention:
+        for c in contention:
+            print(f"# CONTENTION: {c}", flush=True)
+        if args.strict_idle:
+            raise SystemExit("bench: host/chip not idle (see CONTENTION "
+                             "lines); rerun when idle or drop --strict-idle")
+
     selected = ENCODE_CONFIGS
     if args.only:
         keys = [k.strip() for k in args.only.split(",") if k.strip()]
@@ -285,12 +373,9 @@ def main() -> None:
     for name, model_name, batch, mode, patchin in selected:
         value, band = bench_encode(name, model_name, batch, mode, patchin)
         detail[name] = round(value, 1)
-        if band is not None:
-            bands[name] = [round(band[0], 1), round(band[1], 1)]
-            print(f"# {name}: {detail[name]} img/s (median of 5; band "
-                  f"{bands[name][0]}-{bands[name][1]})", flush=True)
-        else:
-            print(f"# {name}: {detail[name]} img/s", flush=True)
+        bands[name] = [round(band[0], 1), round(band[1], 1)]
+        print(f"# {name}: {detail[name]} img/s (median of 5; band "
+              f"{bands[name][0]}-{bands[name][1]})", flush=True)
     train_mfu = 0.0
     if not args.only:
         train_rate, train_mfu = bench_train()
@@ -302,22 +387,36 @@ def main() -> None:
         print(f"# train_rec19k_int8enc_mb64: "
               f"{detail['train_rec19k_int8enc_mb64']} img/s", flush=True)
 
-    head_name, head = max(((k, v) for k, v in detail.items()
-                           if k.startswith("encode")),
-                          key=lambda kv: kv[1],
-                          default=next(iter(detail.items())))
-    mode = "int8 w8a8" if "int8" in head_name else (
-        "int4 w4a8" if "int4" in head_name else "bf16")
-    out = {
-        "metric": f"images/sec/chip encode px256 (best config: {head_name}, {mode})",
-        "value": head,
-        "unit": "img/s",
-        "vs_baseline": round(head / BASELINE_IMG_PER_SEC, 4),
-        "train_mfu": round(train_mfu, 4),
-        "detail": detail,
-    }
-    if head_name in bands:
-        out["headline_band"] = bands[head_name]
+    sanity = _sanity(detail)
+    drift = _drift_vs(detail, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "BENCH_r03.json"))
+
+    encode_items = [(k, v) for k, v in detail.items() if k.startswith("encode")]
+    out: dict = {"unit": "img/s", "detail": detail, "bands": bands}
+    if args.only:
+        # Partial run: no headline, no vs_baseline — tagged so downstream
+        # consumers can't mistake it for a full-bench artifact.
+        out["only"] = args.only
+        out["metric"] = "partial bench (--only subset; not a headline run)"
+        out["value"] = max((v for k, v in detail.items()
+                            if not k.endswith("_mfu")), default=0.0)
+    else:
+        head_name, head = max(encode_items, key=lambda kv: kv[1])
+        mode = "int8 w8a8" if "int8" in head_name else (
+            "int4 w4a8" if "int4" in head_name else "bf16")
+        out["metric"] = (f"images/sec/chip encode px256 "
+                         f"(best config: {head_name}, {mode})")
+        out["value"] = head
+        out["vs_baseline"] = round(head / BASELINE_IMG_PER_SEC, 4)
+        out["train_mfu"] = round(train_mfu, 4)
+        if head_name in bands:
+            out["headline_band"] = bands[head_name]
+    if contention:
+        out["contended"] = contention
+    if sanity:
+        out["sanity_fail"] = sanity
+    if drift:
+        out["drift_vs_r03_pct"] = drift
     print(json.dumps(out))
 
 

@@ -105,6 +105,10 @@ void tae_mask_frpoly(const double* xy, int k, int h, int w, uint8_t* out) {
       std::swap(ys, ye);
     }
     if (dx >= dy) {
+      // maskApi.c computes 0/0 = NaN for a zero-length edge; the 0.0 guard
+      // is behaviorally equivalent (the d-loop runs once with t=0, so the
+      // NaN v-value could only pair with an unchanged u and never produces
+      // a crossing in the downsample step below, which requires u to move).
       double s = dx ? (double)(ye - ys) / (double)dx : 0.0;
       for (long long d = 0; d <= dx; ++d) {
         long long t = flip ? dx - d : d;

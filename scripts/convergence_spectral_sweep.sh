@@ -50,8 +50,12 @@ for V in "${VOCABS[@]}"; do
   LOG="/root/repo/.convergence/out_spec_vocab${V}/conv_log.txt"
   if [ -f "$LOG" ]; then
     cp "$LOG" "/root/repo/docs/logs/spectral_vocab${V}_log.txt"
-    git -C /root/repo add "docs/logs/spectral_vocab${V}_log.txt"
-    git -C /root/repo commit -m "Spectral sweep: vocab${V} training log" || true
+    # Pathspec-scoped add AND commit: a concurrent session's staged files
+    # must not get swept into this background commit under a misleading
+    # message (ADVICE r3 item 1 / VERDICT r4 item 5).
+    git -C /root/repo add -- "docs/logs/spectral_vocab${V}_log.txt" || true
+    git -C /root/repo commit -m "Spectral sweep: vocab${V} training log" \
+      -- "docs/logs/spectral_vocab${V}_log.txt" || true
   fi
 done
 echo "SWEEP: DONE"

@@ -48,12 +48,21 @@ def _load():
     return lib
 
 
+def _lib():
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(
+            "libtaedata.so is absent or predates maskapi.cpp — run "
+            "native/build.sh (or guard calls with mask_native.available())")
+    return lib
+
+
 def _out(h: int, w: int) -> np.ndarray:
     return np.zeros((h, w), np.uint8)
 
 
 def decode_rle_counts(counts: list[int], height: int, width: int) -> np.ndarray:
-    lib = _load()
+    lib = _lib()
     c = np.asarray(counts, np.int64)
     out = _out(height, width)
     lib.tae_mask_rle_decode(
@@ -63,7 +72,7 @@ def decode_rle_counts(counts: list[int], height: int, width: int) -> np.ndarray:
 
 
 def decode_compressed_rle(counts: str, height: int, width: int) -> np.ndarray:
-    lib = _load()
+    lib = _lib()
     out = _out(height, width)
     rc = lib.tae_mask_rle_frstring(
         counts.encode(), height, width,
@@ -77,7 +86,7 @@ def rasterize_polygons(polys: list[list[float]], height: int, width: int
                        ) -> np.ndarray:
     """Union of per-ring maskApi scan conversions, mirroring
     coco_seg.rasterize_polygons (= pycocotools frPyObjects + decode + any)."""
-    lib = _load()
+    lib = _lib()
     mask = _out(height, width)
     part = _out(height, width)
     for poly in polys:

@@ -347,3 +347,71 @@ def test_int8_param_sharding_mirrors_float_rules():
     imgs = jax.device_put(imgs, batch_sharding(mesh))
     z = jax.jit(lambda p, x: model.forward_encoder(p, x, policy=FP32))(qp, imgs)
     assert np.isfinite(np.asarray(z, np.float32)).all()
+
+
+def test_seg_train_step_partitions_without_full_remat():
+    """VERDICT r4 item 3, machine-checked: the segmentation train step must
+    partition onto a (data, fsdp, tensor) mesh with grads-only communication
+    — no "involuntary full rematerialization" from the GSPMD partitioner.
+    The r3/r4 dryruns paid a per-step all-gather + re-slice on the head
+    outputs around the dim-mixing unpatchify because the fsdp-sharded head
+    weight made the backward prefer channel-sharded dout (the reference's
+    DDP communicates only bucketed grads, reference train.py:102; fixed by
+    replicating the dense heads, parallel/sharding.py rules). XLA emits the
+    warning from C++ to stderr, so the compile is wrapped in an fd-level
+    capture; the assertion relies on the default TF log level (warnings on),
+    which is what the driver environment uses."""
+    import os
+    import sys
+    import tempfile
+
+    from tae_tpu.cli.train_segmentation import criterion
+    from tae_tpu.models.segmentation import SegmentationConfig, SegmentationViT
+
+    cfg = SegmentationConfig(num_patches=4, patch_size=16, vocab_size=16,
+                             decoder_embed_dim=64, decoder_depth=2,
+                             decoder_num_heads=4, num_classes=5)
+    seg = SegmentationViT(cfg)
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    params = shard_params(seg.init(jax.random.key(0)), mesh)
+    # the fix under test: dense heads replicated, trunk stays fsdp/tensor
+    assert params["head"]["w"].sharding.is_fully_replicated
+    assert params["aux_head"]["w"].sharding.is_fully_replicated
+    assert not params["blocks"]["mlp"]["fc1"]["w"].sharding.is_fully_replicated
+
+    opt = adamw()
+    state = TrainState.create(params, opt)
+
+    def loss_fn(p, b):
+        z, masks = b
+        out = seg.forward(p, z, policy=FP32, mesh=mesh)
+        return criterion(out, masks), {}
+
+    step = jax.jit(make_train_step(loss_fn, opt, step_lr(1e-3, 1e-4, 100)))
+    side = cfg.patch_size * int(np.sqrt(cfg.num_patches))
+    z = jax.device_put(
+        jax.random.normal(jax.random.key(1), (8, cfg.num_patches,
+                                              cfg.vocab_size)),
+        batch_sharding(mesh))
+    masks = jnp.tile(jnp.arange(side, dtype=jnp.int32) % cfg.num_classes,
+                     (8, side, 1)).at[:, 0].set(255)
+    masks = jax.device_put(masks, batch_sharding(mesh))
+
+    with tempfile.TemporaryFile() as cap:
+        sys.stderr.flush()
+        saved = os.dup(2)
+        os.dup2(cap.fileno(), 2)
+        try:
+            compiled = step.lower(state, (z, masks), jnp.int32(0)).compile()
+        finally:
+            sys.stderr.flush()
+            os.dup2(saved, 2)
+            os.close(saved)
+        cap.seek(0)
+        text = cap.read().decode(errors="replace")
+    assert "full rematerialization" not in text, (
+        "GSPMD resolved a sharding conflict with an involuntary full "
+        "rematerialization:\n" + text[-3000:])
+
+    state, m = compiled(state, (z, masks), jnp.int32(0))
+    assert np.isfinite(float(m["loss"]))
