@@ -326,8 +326,10 @@ def _drift_vs(detail: dict[str, float], ref_path: str) -> dict[str, float]:
     """Per-config % drift vs a prior BENCH artifact's detail block."""
     try:
         with open(ref_path) as f:
-            ref = json.load(f).get("detail", {})
-    except (OSError, ValueError):
+            prior = json.load(f)
+        # the driver's BENCH_r*.json wraps our JSON line under "parsed"
+        ref = prior.get("detail") or prior.get("parsed", {}).get("detail", {})
+    except (OSError, ValueError, AttributeError):
         return {}
     drift = {}
     for name, value in detail.items():

@@ -90,8 +90,8 @@ def main() -> None:
     ax.set_yscale("log")
     ax.set_xlabel("iteration")
     ax.set_ylabel("eval MSE (log scale)")
-    ax.set_title("bottleneck-width sweep, spectral corpus "
-                 "(dashed: linear per-patch coding floors)")
+    ax.set_title("bottleneck-width sweep, spectral corpus\n"
+                 "(dashed: linear per-patch coding floors)", fontsize=11)
     ax.grid(True, which="both", color="#e6e6e6", lw=0.6)
     ax.set_axisbelow(True)
     for s in ("top", "right"):
