@@ -47,20 +47,28 @@ _RULES: list[tuple[tuple[str, ...], tuple[str | None, ...]]] = [
     (("mlp", "fc2", "w_scale"), (None,)),
     (("mlp", "fc2", "b"), (None,)),
     # Dense-prediction / classifier heads ("head", "aux_head" — the
-    # segmentation and recognition output layers): REPLICATED, not
-    # fsdp-sharded. The default rule put fsdp on the head's output dim,
-    # which made the backward of ``out = x @ W`` prefer a channel-sharded
-    # ``dout`` — conflicting with the batch-only activation sharding on
-    # both sides of the segmenter's dim-mixing unpatchify, which GSPMD
-    # resolved with an involuntary full rematerialization (all-gather +
-    # re-slice per step; spmd_partitioner warnings in the r3/r4 dryruns).
-    # With W replicated, dx/dW are local matmuls and the only collective
-    # is the grad psum — the reference's DDP semantics (bucketed grads
-    # only, reference train.py:102). Heads are tiny relative to the trunk
-    # (seg: d·p²·C ≈ 4M params), so the fsdp memory loss is negligible;
-    # the TAE decoder's big "pred" head keeps the fsdp rule.
-    (("head", "w"), (None, None)),
-    (("aux_head", "w"), (None, None)),
+    # segmentation and recognition output layers): fsdp on the INPUT dim,
+    # output dim replicated. The default rule put fsdp on the head's
+    # (larger) output dim, which made the backward of ``out = x @ W``
+    # prefer a channel-sharded ``dout`` — conflicting with the batch-only
+    # activation sharding on both sides of the segmenter's dim-mixing
+    # unpatchify, which GSPMD resolved with an involuntary full
+    # rematerialization (all-gather + re-slice of the activation per step;
+    # spmd_partitioner warnings in the r3/r4 dryruns). Input-dim sharding
+    # measures ZERO such warnings (tests/test_train.py pins it with a
+    # positive control): GSPMD resolves it ZeRO-style — gather the weight
+    # shards for the matmul, reduce-scatter dW — so activations stay
+    # batch-sharded and the per-step communication is weights/grads only,
+    # matching the reference's DDP semantics (bucketed grads, reference
+    # train.py:102), while the Adam state still shards ``1/fsdp`` (the
+    # numpatches16/4 segmentation heads are 66M/264M params — replication
+    # would cost up to ~4 GB/device of optimizer state at patch 128).
+    (("head", "w"), ("fsdp", None)),
+    (("head", "w_q"), ("fsdp", None)),
+    (("head", "w_scale"), (None,)),
+    (("aux_head", "w"), ("fsdp", None)),
+    (("aux_head", "w_q"), ("fsdp", None)),
+    (("aux_head", "w_scale"), (None,)),
 ]
 
 

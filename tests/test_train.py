@@ -349,18 +349,11 @@ def test_int8_param_sharding_mirrors_float_rules():
     assert np.isfinite(np.asarray(z, np.float32)).all()
 
 
-def test_seg_train_step_partitions_without_full_remat():
-    """VERDICT r4 item 3, machine-checked: the segmentation train step must
-    partition onto a (data, fsdp, tensor) mesh with grads-only communication
-    — no "involuntary full rematerialization" from the GSPMD partitioner.
-    The r3/r4 dryruns paid a per-step all-gather + re-slice on the head
-    outputs around the dim-mixing unpatchify because the fsdp-sharded head
-    weight made the backward prefer channel-sharded dout (the reference's
-    DDP communicates only bucketed grads, reference train.py:102; fixed by
-    replicating the dense heads, parallel/sharding.py rules). XLA emits the
-    warning from C++ to stderr, so the compile is wrapped in an fd-level
-    capture; the assertion relies on the default TF log level (warnings on),
-    which is what the driver environment uses."""
+def _compile_seg_step_capturing_warnings(head_sharding=None) -> str:
+    """Compile the sharded segmentation train step on a (2,2,2) mesh with
+    the XLA/C++ warning stream captured at the fd level; returns the
+    captured text. ``head_sharding`` overrides the head/aux_head weight
+    sharding (used for the positive control below)."""
     import os
     import sys
     import tempfile
@@ -374,10 +367,16 @@ def test_seg_train_step_partitions_without_full_remat():
     seg = SegmentationViT(cfg)
     mesh = make_mesh(data=2, fsdp=2, tensor=2)
     params = shard_params(seg.init(jax.random.key(0)), mesh)
-    # the fix under test: dense heads replicated, trunk stays fsdp/tensor
-    assert params["head"]["w"].sharding.is_fully_replicated
-    assert params["aux_head"]["w"].sharding.is_fully_replicated
-    assert not params["blocks"]["mlp"]["fc1"]["w"].sharding.is_fully_replicated
+    if head_sharding is not None:
+        sh = jax.sharding.NamedSharding(mesh, head_sharding)
+        for k in ("head", "aux_head"):
+            params[k]["w"] = jax.device_put(np.asarray(params[k]["w"]), sh)
+    else:
+        # the fix under test: heads fsdp-sharded on the INPUT dim (ZeRO
+        # resolution — weight gather + grad reduce-scatter, activations
+        # stay batch-sharded), never on the output dim
+        assert params["head"]["w"].sharding.spec == ("fsdp", None)
+        assert params["aux_head"]["w"].sharding.spec == ("fsdp", None)
 
     opt = adamw()
     state = TrainState.create(params, opt)
@@ -409,9 +408,33 @@ def test_seg_train_step_partitions_without_full_remat():
             os.close(saved)
         cap.seek(0)
         text = cap.read().decode(errors="replace")
+    if head_sharding is None:
+        state, m = compiled(state, (z, masks), jnp.int32(0))
+        assert np.isfinite(float(m["loss"]))
+    return text
+
+
+def test_seg_train_step_partitions_without_full_remat():
+    """VERDICT r4 item 3, machine-checked: the segmentation train step must
+    partition onto a (data, fsdp, tensor) mesh with weights/grads-only
+    communication — no "involuntary full rematerialization" from the GSPMD
+    partitioner. The r3/r4 dryruns paid a per-step all-gather + re-slice on
+    the head outputs around the dim-mixing unpatchify because the head
+    weight's OUTPUT-dim fsdp sharding made the backward prefer
+    channel-sharded dout (reference DDP communicates only bucketed grads,
+    reference train.py:102; fixed by input-dim head sharding,
+    parallel/sharding.py rules). Self-validating: a positive control
+    compiles the pre-fix output-dim sharding first and must reproduce the
+    warning — if the warning stream is not observable in this environment
+    (e.g. TF_CPP_MIN_LOG_LEVEL>=2) the test skips rather than passing
+    vacuously."""
+    control = _compile_seg_step_capturing_warnings(
+        head_sharding=jax.sharding.PartitionSpec(None, "fsdp"))
+    if "full rematerialization" not in control:
+        pytest.skip("XLA spmd_partitioner warnings not observable here — "
+                    "cannot machine-check the full-remat criterion")
+
+    text = _compile_seg_step_capturing_warnings()
     assert "full rematerialization" not in text, (
         "GSPMD resolved a sharding conflict with an involuntary full "
         "rematerialization:\n" + text[-3000:])
-
-    state, m = compiled(state, (z, masks), jnp.int32(0))
-    assert np.isfinite(float(m["loss"]))
