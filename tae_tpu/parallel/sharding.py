@@ -8,8 +8,12 @@ since they share the ViT primitives):
   * attention proj / MLP fc2 weights — input-dim over ``tensor`` (row
     parallel; XLA inserts the psum), output-dim over ``fsdp``;
   * their biases follow the output dim;
-  * embeddings / norms / heads — replicated over ``tensor``, largest dim
-    over ``fsdp`` when divisible.
+  * dense-prediction / classifier heads (``head``, ``aux_head``) —
+    ``fsdp`` on the input dim, output dim replicated (ZeRO-style weight
+    gather; keeps activations batch-sharded through dim-mixing reshapes,
+    see the rule comment below);
+  * embeddings / norms / everything else — replicated over ``tensor``,
+    largest dim over ``fsdp`` when divisible.
 
 Depth-stacked block leaves carry a leading (depth,) axis which is never
 sharded. Any axis whose size does not divide the mesh axis falls back to
