@@ -438,3 +438,31 @@ def test_seg_train_step_partitions_without_full_remat():
     assert "full rematerialization" not in text, (
         "GSPMD resolved a sharding conflict with an involuntary full "
         "rematerialization:\n" + text[-3000:])
+
+
+def test_head_sharding_rule_and_quantized_mirror():
+    """Dense heads shard fsdp on the input dim (never the output dim — the
+    full-remat trigger), and their int8 w_q/w_scale leaves mirror the float
+    rule (the file header's invariant; reviewed r5)."""
+    from tae_tpu import models
+    from tae_tpu.ops.int8 import quantize_params
+
+    model = models.create("vit_recognition_numpatches256_vocab256_base",
+                          num_classes=10)
+    mesh = make_mesh(data=2, fsdp=2, tensor=2)
+    shapes = jax.eval_shape(model.init, jax.random.key(0))
+    sh = param_shardings(shapes, mesh)
+    assert sh["head"]["w"].spec == ("fsdp", None)
+
+    seg = models.create("vit_segmentation_numpatches4_vocab4096_base")
+    # the 264M-param patch-128 head: input dim sharded, never replicated
+    shapes = jax.eval_shape(seg.init, jax.random.key(0))
+    sh = param_shardings(shapes, mesh)
+    assert sh["head"]["w"].spec == ("fsdp", None)
+    assert sh["aux_head"]["w"].spec == ("fsdp", None)
+
+    qshapes = jax.eval_shape(
+        lambda k: quantize_params(model.init(k)), jax.random.key(0))
+    qsh = param_shardings(qshapes, mesh)
+    assert qsh["head"]["w_q"].spec == ("fsdp", None)
+    assert len(qsh["head"]["w_scale"].spec) <= 1
