@@ -386,9 +386,24 @@ def int8_block_apply(p: Params, x: jnp.ndarray, cfg: BlockConfig,
             y, y_scale = y.reshape(b * n, c), None
     elif not interpret and _attn_wide(n, int8_path=True):
         from tae_tpu.ops.pallas.flash_attention import (
-            fused_qkv_attention_wide, fused_qkv_attention_wide_q8)
+            fused_qkv_attention_wide, fused_qkv_attention_wide_q8,
+            fused_qkv_attention_wide_q8_2d)
 
-        if use_q8:
+        # 2D (flat) kernel entry: consumes the (B*N, 3C) rows the qkv
+        # matmul emits and produces the (B*N, C) int8 + per-row scales the
+        # proj matmul consumes. The 3D entry forces an HBM retile on both
+        # sides when n < 8 (sublane padding): the r5 profile showed those
+        # two reshapes costing 8.4% of the p128 int8 encode iteration, and
+        # the 2D entry measured p128 14834 -> 16551 img/s (+11.6%, K=48
+        # median-of-5 bands disjoint). At n >= 8 the rows are tile-aligned
+        # and XLA's reshape is ~free while the in-kernel view costs a
+        # little: p64 (n=16) measured -0.8% — so 2D dispatches only below
+        # the sublane tile. TAE_TPU_ATTN_WIDE_2D=1/0 forces on/off.
+        env_2d = os.environ.get("TAE_TPU_ATTN_WIDE_2D", "")
+        use_2d = env_2d != "0" if env_2d else n < 8
+        if use_q8 and use_2d:
+            y, y_scale = fused_qkv_attention_wide_q8_2d(qkv, n, h)
+        elif use_q8:
             yq, sy = fused_qkv_attention_wide_q8(qkv.reshape(b, n, 3 * c), h)
             y, y_scale = yq.reshape(b * n, c), sy.reshape(b * n, 1)
         else:

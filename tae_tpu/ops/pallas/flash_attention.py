@@ -510,6 +510,86 @@ def fused_qkv_attention_wide_q8(qkv, num_heads: int,
     )(qkv)
 
 
+def _packed_wide_fwd_kernel_stacked_q8_2d(qkv_ref, oq_ref, s_ref, acc_ref, *,
+                                          h: int, n: int, scale: float,
+                                          group: int):
+    """2D-layout variant of :func:`_packed_wide_fwd_kernel_stacked_q8`:
+    reads (bb*n, 3C) rows and writes (bb*n, C) int8 + (bb*n, 1) scales.
+    The (bb, n, ...) view needed for the batched attention matmuls is
+    materialized by an in-VMEM reshape, which is orders of magnitude
+    cheaper than the HBM retile the 3D entry forces on the caller when n
+    is below the 8-row sublane tile (n=4 pads to 8: the r5 profile showed
+    the [1024,7680]->[256,4,7680] reshape + its inverse costing 8.4% of
+    the p128 int8 encode iteration)."""
+    x2 = qkv_ref[:]                                 # (bb*n, 3C)
+    c = x2.shape[1] // 3
+    bb = x2.shape[0] // n
+    dh = c // h
+    x = x2.reshape(bb, n, 3 * c)
+    for g0 in range(0, h, group):
+        heads = range(g0, min(g0 + group, h))
+        qs = jnp.concatenate([x[:, :, i * dh:(i + 1) * dh] for i in heads])
+        ks = jnp.concatenate([x[:, :, c + i * dh:c + (i + 1) * dh]
+                              for i in heads])
+        vs = jnp.concatenate([x[:, :, 2 * c + i * dh:2 * c + (i + 1) * dh]
+                              for i in heads])
+        s = jax.lax.dot_general(qs, ks, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32) * scale
+        p, l_inv = _serving_softmax(s)
+        o = jax.lax.dot_general(p.astype(vs.dtype), vs,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o = o * l_inv
+        for j, i in enumerate(heads):
+            acc_ref[:, i * dh:(i + 1) * dh] = \
+                o[j * bb:(j + 1) * bb].reshape(bb * n, dh)
+    o_all = acc_ref[:]                              # (bb*n, C) f32
+    sc = jnp.maximum(jnp.max(jnp.abs(o_all), axis=1, keepdims=True) / 127.0,
+                     1e-12)
+    oq_ref[:] = jnp.clip(jnp.round(o_all * pl.reciprocal(sc, approx=False)),
+                         -127.0, 127.0).astype(jnp.int8)
+    s_ref[:] = sc
+
+
+def fused_qkv_attention_wide_q8_2d(qkv2, n: int, num_heads: int,
+                                   scale: float | None = None,
+                                   block_b: int | None = None,
+                                   interpret: bool = False):
+    """:func:`fused_qkv_attention_wide_q8` on the flat serving layout:
+    ``qkv2`` is (B*N, 3C) exactly as the int8 qkv matmul emits it, and the
+    outputs are (B*N, C) int8 + (B*N, 1) scales exactly as the proj matmul
+    consumes them — no (B, N, ...) HBM round trip on either side."""
+    bn, c3 = qkv2.shape
+    assert bn % n == 0, (bn, n)
+    b = bn // n
+    c = c3 // 3
+    if scale is None:
+        scale = (c // num_heads) ** -0.5
+    block_b = _wide_block_b(b, n, block_b)
+    group = _wide_stack_group(num_heads, block_b, n, c // num_heads,
+                              budget=2 << 20)
+    rows = block_b * n
+    spec_in = pl.BlockSpec((rows, c3), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((rows, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((rows, 1), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_packed_wide_fwd_kernel_stacked_q8_2d, h=num_heads,
+                          n=n, scale=float(scale), group=group),
+        grid=(b // block_b,),
+        in_specs=[spec_in],
+        out_specs=[spec_out, spec_s],
+        out_shape=[jax.ShapeDtypeStruct((bn, c), jnp.int8),
+                   jax.ShapeDtypeStruct((bn, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((rows, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_vmem_limit()),
+        interpret=interpret,
+    )(qkv2)
+
+
 def _wide_block_b(b: int, n: int, block_b: int | None = None) -> int:
     """Batch-block size for the wide (tiny-N) kernels: ~256 rows of work per
     program, halved until it divides b. ``TAE_TPU_ATTN_WIDE_BB`` overrides."""

@@ -984,3 +984,25 @@ def test_ln_chain_bm_scans_past_failing_pad_free_candidate(monkeypatch):
     assert _ln_chain_bm(2816, 1024, 4096, 512, 1024) is None
     monkeypatch.setenv("TAE_TPU_INT8_MLP_LN_FORCE", "1")
     assert _ln_chain_bm(2816, 1024, 4096, 512, 1024) is not None
+
+
+@pytest.mark.parametrize("b,n,h,dh", [(16, 4, 32, 80), (8, 16, 32, 80),
+                                      (4, 64, 8, 64)])
+def test_fused_qkv_attention_wide_q8_2d_matches_3d(b, n, h, dh):
+    """The flat-layout (B*N, 3C) serving entry is bit-identical to the 3D
+    wide q8 kernel — it exists purely to delete the HBM retiles the 3D
+    entry forces when n is below the 8-row sublane tile (r5 profile: 8.4%
+    of the p128 int8 encode iteration)."""
+    from tae_tpu.ops.pallas.flash_attention import (
+        fused_qkv_attention_wide_q8, fused_qkv_attention_wide_q8_2d)
+
+    c = h * dh
+    qkv = jax.random.normal(jax.random.key(41), (b, n, 3 * c), jnp.float32)
+    oq3, sc3 = fused_qkv_attention_wide_q8(qkv, h, interpret=True)
+    oq2, sc2 = fused_qkv_attention_wide_q8_2d(qkv.reshape(b * n, 3 * c), n, h,
+                                              interpret=True)
+    assert oq2.shape == (b * n, c) and sc2.shape == (b * n, 1)
+    np.testing.assert_array_equal(np.asarray(oq2),
+                                  np.asarray(oq3).reshape(b * n, c))
+    np.testing.assert_array_equal(np.asarray(sc2),
+                                  np.asarray(sc3).reshape(b * n, 1))
