@@ -22,6 +22,13 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu", "tests must run on virtual CPU devices"
 assert jax.device_count() == 8, "expected 8 virtual CPU devices for sharding tests"
+# Keep the persistent XLA compilation cache OFF in tests even if a module
+# import enables it (bench.py does at import time, so test_bench_utils
+# would otherwise switch it on for the whole process): cached compiles
+# skip the SPMD partitioner, silently defeating tests that assert on
+# partitioner behavior (the seg full-remat warning capture self-skipped
+# this way in the r5 full-suite run).
+jax.config.update("jax_enable_compilation_cache", False)
 # Tests run on CPU: use the XLA attention path by default; Pallas kernels are
 # tested explicitly in interpret mode.
 os.environ.setdefault("TAE_TPU_ATTN", "xla")

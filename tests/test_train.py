@@ -396,18 +396,25 @@ def _compile_seg_step_capturing_warnings(head_sharding=None) -> str:
                      (8, side, 1)).at[:, 0].set(255)
     masks = jax.device_put(masks, batch_sharding(mesh))
 
-    with tempfile.TemporaryFile() as cap:
-        sys.stderr.flush()
-        saved = os.dup(2)
-        os.dup2(cap.fileno(), 2)
-        try:
-            compiled = step.lower(state, (z, masks), jnp.int32(0)).compile()
-        finally:
+    # a persistent-compilation-cache hit would skip the SPMD partitioner
+    # entirely and emit no warning — force a real compile for the capture
+    prev_cache = jax.config.jax_enable_compilation_cache
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        with tempfile.TemporaryFile() as cap:
             sys.stderr.flush()
-            os.dup2(saved, 2)
-            os.close(saved)
-        cap.seek(0)
-        text = cap.read().decode(errors="replace")
+            saved = os.dup(2)
+            os.dup2(cap.fileno(), 2)
+            try:
+                compiled = step.lower(state, (z, masks), jnp.int32(0)).compile()
+            finally:
+                sys.stderr.flush()
+                os.dup2(saved, 2)
+                os.close(saved)
+            cap.seek(0)
+            text = cap.read().decode(errors="replace")
+    finally:
+        jax.config.update("jax_enable_compilation_cache", prev_cache)
     if head_sharding is None:
         state, m = compiled(state, (z, masks), jnp.int32(0))
         assert np.isfinite(float(m["loss"]))
