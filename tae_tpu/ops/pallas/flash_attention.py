@@ -525,7 +525,21 @@ def _packed_wide_fwd_kernel_stacked_q8_2d(qkv_ref, oq_ref, s_ref, acc_ref, *,
     c = x2.shape[1] // 3
     bb = x2.shape[0] // n
     dh = c // h
-    x = x2.reshape(bb, n, 3 * c)
+    # Sublane packing: at n < 8 a (.., n, ..) score/softmax layout wastes
+    # 8-n of every 8-row sublane tile on padding (half the VPU at n=4).
+    # Pack pk = 8//n consecutive batches per slab and mask the cross-batch
+    # score terms to -1e9 — exp(-1e9) == 0.0 exactly in f32, so p, the
+    # row sums, and o are BIT-IDENTICAL to the unpacked computation while
+    # the VPU runs full slabs (p128 attention kernel 2.41 -> measured
+    # below; rows are batch-major so consecutive batches are contiguous).
+    pk = 8 // n if (n < 8 and 8 % n == 0 and bb % (8 // n) == 0) else 1
+    nb, bbp = n * pk, bb // pk
+    x = x2.reshape(bbp, nb, 3 * c)
+    mask = None
+    if pk > 1:
+        row = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0) // n
+        col = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1) // n
+        mask = jnp.where(row == col, 0.0, -1e9).astype(jnp.float32)
     for g0 in range(0, h, group):
         heads = range(g0, min(g0 + group, h))
         qs = jnp.concatenate([x[:, :, i * dh:(i + 1) * dh] for i in heads])
@@ -535,6 +549,8 @@ def _packed_wide_fwd_kernel_stacked_q8_2d(qkv_ref, oq_ref, s_ref, acc_ref, *,
                               for i in heads])
         s = jax.lax.dot_general(qs, ks, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            s = s + mask
         p, l_inv = _serving_softmax(s)
         o = jax.lax.dot_general(p.astype(vs.dtype), vs,
                                 (((2,), (1,)), ((0,), (0,))),
@@ -542,7 +558,7 @@ def _packed_wide_fwd_kernel_stacked_q8_2d(qkv_ref, oq_ref, s_ref, acc_ref, *,
         o = o * l_inv
         for j, i in enumerate(heads):
             acc_ref[:, i * dh:(i + 1) * dh] = \
-                o[j * bb:(j + 1) * bb].reshape(bb * n, dh)
+                o[j * bbp:(j + 1) * bbp].reshape(bb * n, dh)
     o_all = acc_ref[:]                              # (bb*n, C) f32
     sc = jnp.maximum(jnp.max(jnp.abs(o_all), axis=1, keepdims=True) / 127.0,
                      1e-12)
