@@ -33,6 +33,7 @@ CONFIGS = {
     "p64_bf16": ("tae_patch64_vocab4096_px256", 128, False, False),
     "p64_int8": ("tae_patch64_vocab4096_px256", 128, True, True),
     "p128_int8": ("tae_patch128_vocab4096_px256", 256, True, True),
+    "p128_bf16": ("tae_patch128_vocab4096_px256", 1024, False, True),
 }
 
 MATMUL_MARKERS = ("int8_matmul", "int8_mlp", "fusion.kind=kCustom",

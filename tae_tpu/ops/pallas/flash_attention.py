@@ -217,6 +217,30 @@ def _serving_softmax(s):
     return p, jax.lax.reciprocal(l)
 
 
+def _block_diag_mask(n: int, pk: int):
+    """(n·pk, n·pk) 0/1 f32 mask selecting within-batch score entries when
+    ``pk`` batches are packed per sublane slab; None when pk == 1."""
+    if pk == 1:
+        return None
+    nb = n * pk
+    row = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0) // n
+    col = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1) // n
+    return (row == col).astype(jnp.float32)
+
+
+def _masked_serving_softmax(s, mask):
+    """Serving softmax over sublane-packed scores: multiplying p by the
+    0/1 block-diagonal mask AFTER the clamped exp zeroes the cross-batch
+    terms EXACTLY (an additive -1e9 mask would be clamped to exp(-60) ~
+    9e-27 by _SOFTMAX_CLIP — numerically invisible but not bit-exact), so
+    p, the row sums, and o are bit-identical to the unpacked computation."""
+    if mask is None:
+        return _serving_softmax(s)
+    p = jnp.exp(jnp.clip(s, *_SOFTMAX_CLIP)) * mask
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    return p, jax.lax.reciprocal(l)
+
+
 def _packed_fwd_kernel_stacked(qkv_ref, o_ref, *, h: int, scale: float,
                                with_lse: bool, lse_ref=None,
                                serving: bool = True):
@@ -292,6 +316,12 @@ def _packed_wide_fwd_kernel_stacked(qkv_ref, o_ref, *, h: int, scale: float,
     bb, n, c3 = x.shape
     c = c3 // 3
     dh = c // h
+    # NOTE (r5): sublane packing (pk batches per 8-row slab, as in
+    # _packed_wide_fwd_kernel_stacked_q8_2d) was MEASURED AND REVERTED
+    # here: with a 3D VMEM block the (bb, n, ·) -> (bb/pk, n·pk, ·)
+    # relayout costs more than the packed softmax saves — p128 bf16
+    # encode 10653 -> 10417 img/s (-2.2%, bands disjoint). It wins only
+    # in the 2D q8 kernel, where the rows already arrive flat.
     for g0 in range(0, h, group):
         heads = range(g0, min(g0 + group, h))
         qs = jnp.concatenate([x[:, :, i * dh:(i + 1) * dh] for i in heads])
@@ -527,19 +557,16 @@ def _packed_wide_fwd_kernel_stacked_q8_2d(qkv_ref, oq_ref, s_ref, acc_ref, *,
     dh = c // h
     # Sublane packing: at n < 8 a (.., n, ..) score/softmax layout wastes
     # 8-n of every 8-row sublane tile on padding (half the VPU at n=4).
-    # Pack pk = 8//n consecutive batches per slab and mask the cross-batch
-    # score terms to -1e9 — exp(-1e9) == 0.0 exactly in f32, so p, the
-    # row sums, and o are BIT-IDENTICAL to the unpacked computation while
-    # the VPU runs full slabs (p128 attention kernel 2.41 -> measured
-    # below; rows are batch-major so consecutive batches are contiguous).
+    # Pack pk = 8//n consecutive batches per slab and zero the cross-batch
+    # p entries with a multiplicative 0/1 mask after the exp — exact
+    # zeros, so p, the row sums, and o are BIT-IDENTICAL to the unpacked
+    # computation while the VPU runs full slabs (p128 attention kernel
+    # 9.65 -> 5.72 ms per 4 iters measured; rows are batch-major so
+    # consecutive batches are contiguous).
     pk = 8 // n if (n < 8 and 8 % n == 0 and bb % (8 // n) == 0) else 1
     nb, bbp = n * pk, bb // pk
     x = x2.reshape(bbp, nb, 3 * c)
-    mask = None
-    if pk > 1:
-        row = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0) // n
-        col = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1) // n
-        mask = jnp.where(row == col, 0.0, -1e9).astype(jnp.float32)
+    mask = _block_diag_mask(n, pk)
     for g0 in range(0, h, group):
         heads = range(g0, min(g0 + group, h))
         qs = jnp.concatenate([x[:, :, i * dh:(i + 1) * dh] for i in heads])
@@ -549,9 +576,7 @@ def _packed_wide_fwd_kernel_stacked_q8_2d(qkv_ref, oq_ref, s_ref, acc_ref, *,
                               for i in heads])
         s = jax.lax.dot_general(qs, ks, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32) * scale
-        if mask is not None:
-            s = s + mask
-        p, l_inv = _serving_softmax(s)
+        p, l_inv = _masked_serving_softmax(s, mask)
         o = jax.lax.dot_general(p.astype(vs.dtype), vs,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
